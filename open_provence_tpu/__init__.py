@@ -1,0 +1,34 @@
+"""open_provence_tpu — TPU-native Provence-style reranker–pruner framework.
+
+A from-scratch JAX/XLA/Pallas implementation with the capabilities of the
+reference OpenProvence project: cross-encoders that simultaneously score a
+query–context pair for relevance and emit per-token keep/prune probabilities
+used to delete irrelevant sentences from RAG context.
+"""
+
+from .configs import (
+    DEFAULT_PROCESS_THRESHOLD,
+    ModernBertBackboneConfig,
+    OpenProvenceConfig,
+    PruningHeadConfig,
+)
+from .models.model import (
+    OpenProvenceModule,
+    build_module,
+    keep_probs_from_logits,
+    ranking_score_from_logits,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "DEFAULT_PROCESS_THRESHOLD",
+    "ModernBertBackboneConfig",
+    "OpenProvenceConfig",
+    "PruningHeadConfig",
+    "OpenProvenceModule",
+    "build_module",
+    "keep_probs_from_logits",
+    "ranking_score_from_logits",
+    "__version__",
+]

@@ -1,0 +1,711 @@
+"""OpenProvenceModel — the standalone inference runtime (TPU-native).
+
+Counterpart of the reference's flagship artifact
+(modeling_open_provence_standalone.py:1467-3805): ``from_pretrained`` +
+``process()`` + raw-prediction APIs, with the same input-shape contract and
+output payload schema, but a TPU-shaped device path:
+
+* one jitted forward per (batch, length) bucket — fixed shapes, compiled
+  once and reused (inference/batching.py) instead of pad-to-batch-max,
+* attention via the Pallas flash kernel on TPU (ops/flash_attention.py) with
+  the XLA path as fallback/reference,
+* fp32 sigmoid/softmax of logits on device (parity with standalone:2900-2924),
+* optional data-parallel sharding of inference batches over a device mesh.
+
+Everything outside the jitted forward is host text processing, mirroring the
+reference's pipeline: sentence split → fragmentation → greedy block packing →
+postprocess (SURVEY §3.2).
+"""
+
+from __future__ import annotations
+
+import logging
+from collections.abc import Callable, Mapping, Sequence
+from pathlib import Path
+from time import perf_counter
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import OpenProvenceConfig
+from ..models.model import (
+    OpenProvenceModule,
+    keep_probs_from_logits,
+    ranking_score_from_logits,
+)
+from ..text.fragmentation import (
+    FragmentRecord,
+    assemble_blocks,
+    fragmentize_job,
+    fragments_from_payload,
+    max_fragment_tokens_for,
+    normalize_sentences,
+    collect_candidate_sentences,
+    tokenize_sentences,
+)
+from ..text.splitters import SentenceSplitter, resolve_sentence_splitter
+from ..text.tokenizer import TokenizerAdapter
+from ..utils.tracing import ProcessPerformanceTrace
+from .batching import bucket_batch, bucket_length, length_buckets, pad_block_batch
+from .inputs import normalize_inputs, resolve_prefix_sentences, resolve_titles
+from .postprocess import (
+    RawBlockPrediction,
+    apply_reordering,
+    postprocess_contexts,
+    restore_output_shape,
+)
+
+LOGGER = logging.getLogger(__name__)
+
+
+class OpenProvenceRawPrediction:
+    """Raw pruning outputs for a (query, contexts) pair
+    (standalone:451-459)."""
+
+    def __init__(
+        self,
+        query: str,
+        contexts: list[str],
+        ranking_score: float | None,
+        pruning_probs: np.ndarray,
+        context_ranges: list[tuple[int, int]],
+    ):
+        self.query = query
+        self.contexts = contexts
+        self.ranking_score = ranking_score
+        self.pruning_probs = pruning_probs
+        self.context_ranges = context_ranges
+
+
+class OpenProvenceModel:
+    """Inference runtime: config + params + tokenizer + jitted forwards."""
+
+    def __init__(
+        self,
+        config: OpenProvenceConfig,
+        params: Mapping[str, Any],
+        tokenizer: Any,
+        *,
+        dtype: Any = None,
+        attention_impl: str = "auto",
+        bucket_step: int = 64,
+        mesh: Any = None,
+    ):
+        self.config = config
+        self.module = OpenProvenceModule(
+            backbone_config=config.backbone(),
+            pruning_config=config.pruning_head(),
+        )
+        if dtype is not None:
+            params = jax.tree.map(
+                lambda x: x.astype(dtype) if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x,
+                params,
+            )
+        self.params = jax.tree.map(jnp.asarray, dict(params))
+        self.tokenizer = (
+            tokenizer
+            if isinstance(tokenizer, TokenizerAdapter)
+            else TokenizerAdapter(tokenizer, max_length=config.max_length)
+        )
+        self.max_length = int(config.max_length)
+        self.default_threshold = config.default_threshold
+        self.attention_impl = attention_impl
+        self.bucket_step = int(bucket_step)
+        self.mesh = mesh
+        self._jit_cache: dict[tuple[int, int], Callable] = {}
+
+    # --- loading -------------------------------------------------------------
+
+    @classmethod
+    def from_pretrained(
+        cls,
+        path: str | Path,
+        *,
+        dtype: Any = None,
+        attention_impl: str = "auto",
+        max_length: int | None = None,
+        tokenizer: Any = None,
+        **kwargs: Any,
+    ) -> "OpenProvenceModel":
+        """Load a reference-layout checkpoint directory (config.json +
+        model.safetensors + tokenizer files)."""
+        from ..utils.hf_convert import load_checkpoint
+
+        path = Path(path)
+        config, params = load_checkpoint(path)
+        if max_length is not None:
+            config.max_length = int(max_length)
+        if tokenizer is None:
+            from transformers import AutoTokenizer
+
+            tokenizer = AutoTokenizer.from_pretrained(str(path))
+        if dtype is None and jax.devices()[0].platform == "tpu":
+            dtype = jnp.bfloat16
+        return cls(
+            config,
+            params,
+            tokenizer,
+            dtype=dtype,
+            attention_impl=attention_impl,
+            **kwargs,
+        )
+
+    # --- device forward -------------------------------------------------------
+
+    def _forward_fn(self, batch: int, seq_len: int) -> Callable:
+        key = (batch, seq_len)
+        fn = self._jit_cache.get(key)
+        if fn is not None:
+            return fn
+
+        module = self.module
+        impl = self.attention_impl
+
+        def _run(params, input_ids, attention_mask):
+            out = module.apply(
+                {"params": params},
+                input_ids,
+                attention_mask,
+                deterministic=True,
+                attention_impl=impl,
+            )
+            rank = ranking_score_from_logits(out["ranking_logits"])  # [B] fp32
+            keep = keep_probs_from_logits(out["pruning_logits"])  # [B, S] fp32
+            return rank, keep
+
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            data_sharding = NamedSharding(self.mesh, P("data", None))
+            replicated = NamedSharding(self.mesh, P())
+            fn = jax.jit(
+                _run,
+                in_shardings=(replicated, data_sharding, data_sharding),
+                out_shardings=(
+                    NamedSharding(self.mesh, P("data")),
+                    data_sharding,
+                ),
+            )
+        else:
+            fn = jax.jit(_run)
+        self._jit_cache[key] = fn
+        return fn
+
+    def _run_device_batch(
+        self, input_ids: np.ndarray, attention_mask: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        batch, seq_len = input_ids.shape
+        fn = self._forward_fn(batch, seq_len)
+        rank, keep = fn(self.params, jnp.asarray(input_ids), jnp.asarray(attention_mask))
+        return np.asarray(jax.device_get(rank)), np.asarray(jax.device_get(keep))
+
+    # --- raw prediction APIs ---------------------------------------------------
+
+    def get_raw_predictions(
+        self, query: str, contexts: Sequence[str]
+    ) -> OpenProvenceRawPrediction:
+        return self.get_raw_predictions_batch(query, [list(contexts)])[0]
+
+    def get_raw_predictions_batch(
+        self,
+        query: str | Sequence[str],
+        contexts_batch: Sequence[Sequence[str]],
+        batch_size: int | None = None,
+    ) -> list[OpenProvenceRawPrediction]:
+        """(standalone:1752-1841) — joint encode of query + joined contexts,
+        returning per-token keep probs and per-context token ranges."""
+        if not contexts_batch:
+            return []
+        sep_token = self.tokenizer.sep_token or ""
+        if batch_size is None or batch_size <= 0:
+            batch_size = len(contexts_batch)
+
+        if isinstance(query, Sequence) and not isinstance(query, str):
+            query_list = [str(entry) for entry in query]
+            if len(query_list) != len(contexts_batch):
+                raise ValueError(
+                    "When providing multiple queries, their count must match contexts_batch."
+                )
+        else:
+            query_list = [str(query)] * len(contexts_batch)
+
+        results: list[OpenProvenceRawPrediction] = []
+        buckets = length_buckets(self.max_length, self.bucket_step)
+        pad_id = self.tokenizer.pad_token_id
+
+        for start in range(0, len(contexts_batch), batch_size):
+            chunk = contexts_batch[start : start + batch_size]
+            chunk_queries = query_list[start : start + batch_size]
+            combined = [
+                chunk_queries[idx] + sep_token + "".join(contexts)
+                for idx, contexts in enumerate(chunk)
+            ]
+            encoded = self.tokenizer.tokenizer(
+                combined,
+                padding=False,
+                truncation=True,
+                max_length=self.max_length,
+            )
+            ids_list = encoded["input_ids"]
+            max_len = max((len(ids) for ids in ids_list), default=1)
+            seq_len = bucket_length(max_len, buckets)
+            n_rows = bucket_batch(len(ids_list), max(len(ids_list), 1))
+            prepared = [{"input_ids": ids, "attention_mask": [1] * len(ids)} for ids in ids_list]
+            batch_arrays = pad_block_batch(prepared, seq_len, n_rows, pad_id)
+            rank, keep = self._run_device_batch(
+                batch_arrays["input_ids"], batch_arrays["attention_mask"]
+            )
+
+            for idx, contexts in enumerate(chunk):
+                if len(contexts) == 0:
+                    continue
+                ranking_score = float(rank[idx])
+                pruning_probs = keep[idx][: len(ids_list[idx])]
+                context_ranges = self._context_ranges_from_contexts(
+                    chunk_queries[idx], list(contexts)
+                )
+                results.append(
+                    OpenProvenceRawPrediction(
+                        query=chunk_queries[idx],
+                        contexts=list(contexts),
+                        ranking_score=ranking_score,
+                        pruning_probs=pruning_probs,
+                        context_ranges=context_ranges,
+                    )
+                )
+        return results
+
+    def _context_ranges_from_contexts(
+        self, query: str, contexts: Sequence[str]
+    ) -> list[tuple[int, int]]:
+        """(standalone:1926-1969) — cumulative re-encoding boundary search."""
+        if not contexts:
+            return []
+        sep_token = self.tokenizer.sep_token or ""
+        prefix = query + sep_token
+        boundaries: list[int] = []
+        for idx in range(len(contexts)):
+            text = prefix + "".join(contexts[: idx + 1])
+            encoding = self.tokenizer.tokenizer(
+                [text], padding=False, truncation=True, max_length=self.max_length
+            )
+            boundaries.append(len(encoding["input_ids"][0]))
+        prefix_encoding = self.tokenizer.tokenizer([prefix], padding=False, truncation=False)
+        prefix_len = len(prefix_encoding["input_ids"][0])
+        ranges: list[tuple[int, int]] = []
+        prev = prefix_len
+        for boundary in boundaries:
+            ranges.append((prev, boundary))
+            prev = boundary
+        return ranges
+
+    def predict_with_thresholds(
+        self,
+        query: str,
+        contexts: Sequence[str],
+        thresholds: Sequence[float],
+        *,
+        use_majority: bool = False,
+    ) -> dict[str, Any]:
+        """(standalone:1843-1881)"""
+        raw = self.get_raw_predictions(query, contexts)
+        predictions: dict[float, list[int]] = {}
+        for threshold in thresholds:
+            context_predictions: list[int] = []
+            for start, end in raw.context_ranges:
+                segment = raw.pruning_probs[start:end]
+                if segment.size == 0:
+                    context_predictions.append(1)
+                    continue
+                if use_majority:
+                    kept_tokens = int(np.count_nonzero(segment > threshold))
+                    context_predictions.append(
+                        1 if kept_tokens >= (segment.size / 2) else 0
+                    )
+                else:
+                    mean_prob = float(segment.mean())
+                    context_predictions.append(1 if mean_prob > threshold else 0)
+            predictions[threshold] = context_predictions
+        return {
+            "query": raw.query,
+            "contexts": raw.contexts,
+            "ranking_score": raw.ranking_score,
+            "predictions": predictions,
+            "context_ranges": raw.context_ranges,
+            "pruning_probs": raw.pruning_probs,
+        }
+
+    # --- process() --------------------------------------------------------------
+
+    def _resolve_process_threshold(self, threshold: float | None) -> float:
+        return self.config.resolve_threshold(threshold)
+
+    def _precompute_sentences_and_tokens(
+        self,
+        context_text: str,
+        prefix_sentences: list[str],
+        manual_sentences: list[str] | None,
+        splitter: SentenceSplitter,
+        strip_sentences: bool,
+    ) -> tuple[list[str], list[list[int]]]:
+        example_payload = {
+            "context_text": context_text,
+            "prefix_sentences": prefix_sentences,
+            "manual_sentences": manual_sentences,
+        }
+        raw_sentences = collect_candidate_sentences(example_payload, splitter)
+        sentences = normalize_sentences(raw_sentences, context_text, strip_sentences)
+        token_lists = tokenize_sentences(self.tokenizer, sentences)
+        return sentences, token_lists
+
+    def _build_preprocess_jobs(
+        self,
+        queries: list[str],
+        contexts: list[list[Any]],
+        titles: list[Any],
+        splitter: SentenceSplitter,
+        *,
+        strip_sentences: bool,
+    ) -> tuple[list[dict[str, Any]], list[list[int]]]:
+        """(standalone:2436-2519)"""
+        preprocess_jobs: list[dict[str, Any]] = []
+        query_token_ids: list[list[int]] = []
+        for query_idx, query_text in enumerate(queries):
+            query_tokens = self.tokenizer.encode(query_text, add_special_tokens=False)
+            query_token_ids.append(list(query_tokens))
+            title_spec = titles[query_idx]
+            for context_idx, context_entry in enumerate(contexts[query_idx]):
+                if isinstance(context_entry, list):
+                    manual_sentences = [str(s) for s in context_entry if str(s).strip()]
+                    context_text = "".join(manual_sentences)
+                else:
+                    manual_sentences = None
+                    context_text = context_entry
+                prefix_sentences, title_is_first_sentence = resolve_prefix_sentences(
+                    title_spec, context_idx
+                )
+                cached_sentences, cached_token_lists = self._precompute_sentences_and_tokens(
+                    context_text, prefix_sentences, manual_sentences, splitter, strip_sentences
+                )
+                prefix_count = len(prefix_sentences)
+                prefix_token_counts = [
+                    len(tokens) for tokens in cached_token_lists[:prefix_count]
+                ]
+                preprocess_jobs.append(
+                    {
+                        "query_idx": query_idx,
+                        "context_idx": context_idx,
+                        "context_text": context_text,
+                        "prefix_sentences": prefix_sentences,
+                        "title_is_first_sentence": title_is_first_sentence,
+                        "prefix_token_counts": prefix_token_counts,
+                        "manual_sentences": manual_sentences,
+                        "cached_sentences": cached_sentences,
+                        "cached_token_lists": cached_token_lists,
+                    }
+                )
+        return preprocess_jobs, query_token_ids
+
+    def _assemble_context_info(
+        self,
+        job: dict[str, Any],
+        entry: dict[str, Any],
+        query_token_ids: list[list[int]],
+        sep_token_ids: list[int],
+    ) -> tuple[tuple[int, int], dict[str, Any], list[dict[str, Any]]]:
+        """One job's fragments → blocks + inference jobs
+        (standalone:2649-2759)."""
+        fragments = fragments_from_payload(entry)
+        sentences: list[str] = entry.get("sentences", [])
+        query_idx = job["query_idx"]
+        context_idx = job["context_idx"]
+        blocks = assemble_blocks(
+            self.tokenizer,
+            self.max_length,
+            len(query_token_ids[query_idx]),
+            len(sep_token_ids),
+            fragments,
+        )
+        info = {
+            "sentences": sentences,
+            "fragments": fragments,
+            "blocks": blocks,
+            "prefix_length": len(job.get("prefix_sentences", [])),
+            "prefix_sentences": job.get("prefix_sentences", []),
+            "prefix_token_counts": job.get("prefix_token_counts", []),
+            "title_is_first_sentence": job.get("title_is_first_sentence", False),
+            "original_text": job["context_text"],
+            "raw_blocks": [],
+        }
+        inference_jobs = [
+            {
+                "query_idx": query_idx,
+                "context_idx": context_idx,
+                "block_idx": block_idx,
+            }
+            for block_idx in range(len(blocks))
+        ]
+        return (query_idx, context_idx), info, inference_jobs
+
+    def _run_inference(
+        self,
+        inference_jobs: list[dict[str, Any]],
+        batch_size: int,
+        query_token_ids: list[list[int]],
+        contexts_info: dict[tuple[int, int], dict[str, Any]],
+        show_progress: bool,
+    ) -> float:
+        """Prepare block inputs, bucket them, run jitted forwards, attach raw
+        predictions. Returns device-inference seconds."""
+        if not inference_jobs:
+            return 0.0
+
+        # Prepare all block inputs on host first.
+        prepared_all: list[dict[str, Any]] = []
+        for job in inference_jobs:
+            info = contexts_info[(job["query_idx"], job["context_idx"])]
+            block_fragments: list[FragmentRecord] = info["blocks"][job["block_idx"]]
+            input_ids, attention_mask, token_type_ids, ranges = (
+                self.tokenizer.prepare_block_inputs(
+                    query_token_ids[job["query_idx"]], block_fragments
+                )
+            )
+            prepared_all.append(
+                {
+                    "job": job,
+                    "input_ids": input_ids,
+                    "attention_mask": attention_mask,
+                    "ranges": ranges,
+                }
+            )
+
+        # Group by length bucket, preserving job order within a bucket.
+        buckets = length_buckets(self.max_length, self.bucket_step)
+        by_bucket: dict[int, list[dict[str, Any]]] = {}
+        for entry in prepared_all:
+            blen = bucket_length(
+                min(len(entry["input_ids"]), self.max_length), buckets
+            )
+            by_bucket.setdefault(blen, []).append(entry)
+
+        inference_time = 0.0
+        pad_id = self.tokenizer.pad_token_id
+        iterator = sorted(by_bucket.items())
+        progress = None
+        if show_progress:
+            try:
+                from tqdm import tqdm
+
+                total = sum(
+                    (len(v) + batch_size - 1) // batch_size for _, v in iterator
+                )
+                progress = tqdm(total=total, desc="Model inference", unit="batch", leave=False)
+            except Exception:
+                progress = None
+
+        for seq_len, entries in iterator:
+            for start in range(0, len(entries), batch_size):
+                chunk = entries[start : start + batch_size]
+                n_rows = bucket_batch(len(chunk), batch_size)
+                batch_arrays = pad_block_batch(chunk, seq_len, n_rows, pad_id)
+                infer_start = perf_counter()
+                rank, keep = self._run_device_batch(
+                    batch_arrays["input_ids"], batch_arrays["attention_mask"]
+                )
+                inference_time += perf_counter() - infer_start
+                for row, entry in enumerate(chunk):
+                    job = entry["job"]
+                    n_tokens = len(entry["input_ids"])
+                    raw = RawBlockPrediction(
+                        ranking_score=float(rank[row]),
+                        pruning_probs=keep[row][:n_tokens],
+                        context_ranges=entry["ranges"],
+                    )
+                    contexts_info[(job["query_idx"], job["context_idx"])][
+                        "raw_blocks"
+                    ].append((job["block_idx"], raw))
+                if progress is not None:
+                    progress.update(1)
+
+        if progress is not None:
+            progress.close()
+        return inference_time
+
+    def process(
+        self,
+        question: str | Sequence[str],
+        context: Any,
+        title: Any = "first_sentence",
+        first_line_as_title: bool = False,
+        *,
+        batch_size: int = 32,
+        threshold: float | None = None,
+        always_select_title: bool = False,
+        reorder: bool = False,
+        top_k: int | None = None,
+        sentence_splitter: SentenceSplitter | Mapping[str, SentenceSplitter] | None = None,
+        language: str | None = None,
+        use_best_reranker_score: bool = True,
+        zero_score_when_empty: bool = True,
+        show_progress: bool = True,
+        debug_messages: bool | Callable[[str], None] = False,
+        enable_warnings: bool = True,
+        strip_sentences: bool = False,
+        respect_sentence_boundaries: bool = False,
+        return_sentence_metrics: bool = False,
+        return_sentence_texts: bool = False,
+        show_inference_progress: bool | None = None,
+        preprocess_workers: int | None = None,
+        preprocess_batch_size: int | None = None,
+        torch_dataloader_kwargs: Mapping[str, Any] | None = None,
+    ) -> dict[str, Any]:
+        """Prune long contexts while preserving sentence boundaries.
+
+        Full argument semantics match the reference's ``process()``
+        (standalone:3314-3406): see that docstring for the contract. Args
+        ``preprocess_workers`` / ``preprocess_batch_size`` /
+        ``torch_dataloader_kwargs`` are accepted for drop-in compatibility;
+        host preprocessing here is sequential (fast HF tokenizers batch
+        internally).
+        """
+        del preprocess_workers, preprocess_batch_size, torch_dataloader_kwargs
+        del enable_warnings
+        batch_size = max(1, batch_size)
+        threshold = self._resolve_process_threshold(threshold)
+        start_total = perf_counter()
+
+        splitter = resolve_sentence_splitter(sentence_splitter, language)
+
+        debug_callback: Callable[[str], None] | None
+        if isinstance(debug_messages, bool):
+            debug_callback = LOGGER.info if debug_messages else None
+        elif callable(debug_messages):
+            debug_callback = debug_messages
+        else:
+            raise TypeError("debug_messages must be a bool or a callable that accepts a string")
+
+        if show_inference_progress is None:
+            show_inference_progress = show_progress
+
+        queries, contexts, structure = normalize_inputs(question, context)
+        contexts, titles = resolve_titles(
+            queries, contexts, title, first_line_as_title=first_line_as_title
+        )
+        max_fragment_tokens = max_fragment_tokens_for(
+            self.max_length, respect_sentence_boundaries
+        )
+        sep_token_ids = self.tokenizer.sep_token_ids()
+
+        preprocess_start = perf_counter()
+        preprocess_jobs, query_token_ids = self._build_preprocess_jobs(
+            queries, contexts, titles, splitter, strip_sentences=strip_sentences
+        )
+
+        contexts_info: dict[tuple[int, int], dict[str, Any]] = {}
+        inference_jobs: list[dict[str, Any]] = []
+        assembly_time = 0.0
+        for job in preprocess_jobs:
+            entry = fragmentize_job(
+                self.tokenizer,
+                job,
+                max_fragment_tokens=max_fragment_tokens,
+                splitter=splitter,
+                strip_sentences=strip_sentences,
+                respect_sentence_boundaries=respect_sentence_boundaries,
+            )
+            assembly_start = perf_counter()
+            key, info, jobs = self._assemble_context_info(
+                job, entry, query_token_ids, sep_token_ids
+            )
+            contexts_info[key] = info
+            inference_jobs.extend(jobs)
+            assembly_time += perf_counter() - assembly_start
+        preprocess_time = perf_counter() - preprocess_start - assembly_time
+
+        inference_time = self._run_inference(
+            inference_jobs,
+            batch_size,
+            query_token_ids,
+            contexts_info,
+            show_inference_progress,
+        )
+
+        if show_progress and inference_jobs:
+            message = (
+                f"[OpenProvenceModel] Model inference time: {inference_time:.2f}s "
+                f"({len(inference_jobs)} blocks)"
+            )
+            if debug_callback is None:
+                print(message, flush=True)
+            else:
+                debug_callback(message)
+
+        post_start = perf_counter()
+        (
+            pruned_contexts,
+            reranking_scores,
+            compression_rates,
+            kept_sentences,
+            removed_sentences,
+            title_values,
+            sentence_probability_groups,
+        ) = postprocess_contexts(
+            queries,
+            contexts,
+            contexts_info,
+            threshold=threshold,
+            always_select_title=always_select_title,
+            use_best_reranker_score=use_best_reranker_score,
+            sentence_probability_groups_requested=return_sentence_metrics,
+            collect_sentence_texts=return_sentence_texts,
+            first_line_as_title=first_line_as_title,
+            zero_score_when_empty=zero_score_when_empty,
+        )
+        post_time = perf_counter() - post_start
+
+        if reorder:
+            (
+                pruned_contexts,
+                reranking_scores,
+                compression_rates,
+                kept_sentences,
+                removed_sentences,
+                title_values,
+                sentence_probability_groups,
+            ) = apply_reordering(
+                pruned_contexts,
+                reranking_scores,
+                compression_rates,
+                kept_sentences,
+                removed_sentences,
+                title_values,
+                sentence_probability_groups,
+                top_k=top_k,
+            )
+
+        total_time = perf_counter() - start_total
+        performance_trace = ProcessPerformanceTrace(
+            preprocess_seconds=preprocess_time,
+            assembly_seconds=assembly_time,
+            inference_seconds=inference_time,
+            postprocess_seconds=post_time,
+            total_seconds=total_time,
+        )
+        if debug_callback is not None:
+            debug_callback(f"[OpenProvenceModel] {performance_trace.timing_line()}")
+
+        payload = restore_output_shape(
+            structure,
+            pruned_contexts,
+            reranking_scores,
+            compression_rates,
+            kept_sentences,
+            removed_sentences,
+            title_values,
+            sentence_probability_groups,
+        )
+        payload["timing"] = performance_trace.as_dict()
+        payload["performance_trace"] = performance_trace
+        return payload

@@ -1,0 +1,274 @@
+"""From-scratch JAX/Flax ModernBERT encoder.
+
+The reference project does NOT implement its backbone — it delegates to
+``transformers.AutoModelForSequenceClassification`` (reference
+open_provence/encoder.py:128-144); the published OpenProvence checkpoints are
+ModernBERT-family models (reference utils/model_architecture.py:21-37). This
+module implements that architecture natively for TPU:
+
+* token embeddings + LayerNorm (no positional embeddings — rotary only),
+* pre-norm transformer layers with an Identity attn-norm on layer 0,
+* alternating attention: every ``global_attn_every_n_layers``-th layer is
+  global, others use a ±(local_attention//2) sliding window,
+* rotary embeddings with separate theta for local (10k) vs global (160k)
+  layers, cos/sin in fp32,
+* GeGLU MLP (Wi → split → act(x)·gate → Wo), bias-free linear/norm layout,
+* fp32 softmax (parity with eager HF attention used by the checkpoints).
+
+Parameter names mirror the HF module tree (``layers_<i>.attn.Wqkv`` etc.) so
+HF safetensors checkpoints convert mechanically (utils/hf_convert.py).
+
+Numeric parity with ``transformers.ModernBertModel`` (eager, fp32) is
+enforced by tests/test_modernbert_parity.py.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..configs import ModernBertBackboneConfig
+from ..ops.attention import multi_head_attention
+from ..ops.rotary import apply_rotary, rope_tables
+
+_ACTIVATIONS = {
+    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+    "gelu_new": lambda x: jax.nn.gelu(x, approximate=True),
+    "gelu_pytorch_tanh": lambda x: jax.nn.gelu(x, approximate=True),
+    "relu": jax.nn.relu,
+    "silu": jax.nn.silu,
+    "swish": jax.nn.silu,
+}
+
+
+def get_activation(name: str):
+    try:
+        return _ACTIVATIONS[name]
+    except KeyError as exc:
+        raise ValueError(f"Unsupported activation: {name!r}") from exc
+
+
+class ModernBertMLP(nn.Module):
+    """GeGLU MLP: Wi projects to 2×intermediate; act(input)·gate → Wo."""
+
+    config: ModernBertBackboneConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
+        cfg = self.config
+        wi = nn.Dense(2 * cfg.intermediate_size, use_bias=cfg.mlp_bias, name="Wi")(x)
+        inp, gate = jnp.split(wi, 2, axis=-1)
+        act = get_activation(cfg.hidden_activation)
+        hidden = act(inp) * gate
+        if cfg.mlp_dropout > 0.0:
+            hidden = nn.Dropout(cfg.mlp_dropout)(hidden, deterministic=deterministic)
+        return nn.Dense(cfg.hidden_size, use_bias=cfg.mlp_bias, name="Wo")(hidden)
+
+
+class ModernBertAttention(nn.Module):
+    """Fused-QKV multi-head attention with per-layer rotary + windowing."""
+
+    config: ModernBertBackboneConfig
+    layer_id: int
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        padding_mask: jnp.ndarray | None,
+        *,
+        deterministic: bool = True,
+        attention_impl: str = "auto",
+    ) -> jnp.ndarray:
+        cfg = self.config
+        batch, seq_len, _ = x.shape
+        num_heads = cfg.num_attention_heads
+        head_dim = cfg.head_dim
+
+        qkv = nn.Dense(3 * cfg.hidden_size, use_bias=cfg.attention_bias, name="Wqkv")(x)
+        qkv = qkv.reshape(batch, seq_len, 3, num_heads, head_dim)
+        # → [B, H, S, D] each (HF eager layout)
+        q, k, v = (
+            jnp.moveaxis(qkv[:, :, i], 2, 1) for i in range(3)
+        )
+
+        theta = cfg.layer_rope_theta(self.layer_id)
+        cos, sin = rope_tables(seq_len, head_dim, theta, dtype=jnp.float32)
+        q, k = apply_rotary(q, k, cos, sin)
+
+        window = cfg.layer_window(self.layer_id)
+        out = multi_head_attention(
+            q, k, v, padding_mask=padding_mask, window=window, impl=attention_impl
+        )
+        out = jnp.moveaxis(out, 1, 2).reshape(batch, seq_len, cfg.hidden_size)
+        out = nn.Dense(cfg.hidden_size, use_bias=cfg.attention_bias, name="Wo")(out)
+        if cfg.attention_dropout > 0.0:
+            out = nn.Dropout(cfg.attention_dropout)(out, deterministic=deterministic)
+        return out
+
+
+class ModernBertEncoderLayer(nn.Module):
+    config: ModernBertBackboneConfig
+    layer_id: int
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        padding_mask: jnp.ndarray | None,
+        *,
+        deterministic: bool = True,
+        attention_impl: str = "auto",
+    ) -> jnp.ndarray:
+        cfg = self.config
+        if self.layer_id == 0:
+            # Layer 0 skips attn_norm: embeddings are already normalized.
+            attn_in = x
+        else:
+            attn_in = nn.LayerNorm(
+                epsilon=cfg.norm_eps, use_bias=cfg.norm_bias, name="attn_norm"
+            )(x)
+        x = x + ModernBertAttention(cfg, self.layer_id, name="attn")(
+            attn_in,
+            padding_mask,
+            deterministic=deterministic,
+            attention_impl=attention_impl,
+        )
+        mlp_in = nn.LayerNorm(
+            epsilon=cfg.norm_eps, use_bias=cfg.norm_bias, name="mlp_norm"
+        )(x)
+        x = x + ModernBertMLP(cfg, name="mlp")(mlp_in, deterministic=deterministic)
+        return x
+
+
+class ModernBertEmbeddings(nn.Module):
+    config: ModernBertBackboneConfig
+
+    @nn.compact
+    def __call__(self, input_ids: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
+        cfg = self.config
+        embeddings = nn.Embed(
+            cfg.vocab_size, cfg.hidden_size, name="tok_embeddings"
+        )(input_ids)
+        embeddings = nn.LayerNorm(
+            epsilon=cfg.norm_eps, use_bias=cfg.norm_bias, name="norm"
+        )(embeddings)
+        if cfg.embedding_dropout > 0.0:
+            embeddings = nn.Dropout(cfg.embedding_dropout)(
+                embeddings, deterministic=deterministic
+            )
+        return embeddings
+
+
+class ModernBertEncoder(nn.Module):
+    """Backbone returning both pre- and post-final-norm last hidden states.
+
+    The reference's pruning head consumes ``outputs.hidden_states[-1]`` —
+    which in HF is the last layer output *before* ``final_norm``
+    (reference encoder.py:229-232 + HF ModernBertModel semantics) — while the
+    ranking classifier pools the post-final-norm ``last_hidden_state``. Both
+    are returned so checkpoint numerics match exactly.
+    """
+
+    config: ModernBertBackboneConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: jnp.ndarray,
+        padding_mask: jnp.ndarray | None = None,
+        *,
+        deterministic: bool = True,
+        attention_impl: str = "auto",
+        remat: bool = False,
+    ) -> dict[str, jnp.ndarray]:
+        cfg = self.config
+        x = ModernBertEmbeddings(cfg, name="embeddings")(
+            input_ids, deterministic=deterministic
+        )
+        layer_cls = ModernBertEncoderLayer
+        if remat:
+            layer_cls = nn.remat(
+                ModernBertEncoderLayer, static_argnums=(), prevent_cse=False
+            )
+        for layer_id in range(cfg.num_hidden_layers):
+            x = layer_cls(cfg, layer_id, name=f"layers_{layer_id}")(
+                x,
+                padding_mask,
+                deterministic=deterministic,
+                attention_impl=attention_impl,
+            )
+        pre_final = x
+        final = nn.LayerNorm(
+            epsilon=cfg.norm_eps, use_bias=cfg.norm_bias, name="final_norm"
+        )(x)
+        return {"last_hidden_pre_norm": pre_final, "last_hidden_state": final}
+
+
+class ModernBertPredictionHead(nn.Module):
+    """dense → act → norm (HF ModernBertPredictionHead)."""
+
+    config: ModernBertBackboneConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        x = nn.Dense(cfg.hidden_size, use_bias=cfg.classifier_bias, name="dense")(x)
+        x = get_activation(cfg.classifier_activation)(x)
+        return nn.LayerNorm(
+            epsilon=cfg.norm_eps, use_bias=cfg.norm_bias, name="norm"
+        )(x)
+
+
+class ModernBertForSequenceClassification(nn.Module):
+    """Backbone + pooled classification head (ranking logits).
+
+    Matches HF ``ModernBertForSequenceClassification`` forward: pool (cls or
+    masked mean) → prediction head → dropout → classifier.
+    """
+
+    config: ModernBertBackboneConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: jnp.ndarray,
+        padding_mask: jnp.ndarray | None = None,
+        *,
+        deterministic: bool = True,
+        attention_impl: str = "auto",
+        remat: bool = False,
+    ) -> dict[str, Any]:
+        cfg = self.config
+        outputs = ModernBertEncoder(cfg, name="model")(
+            input_ids,
+            padding_mask,
+            deterministic=deterministic,
+            attention_impl=attention_impl,
+            remat=remat,
+        )
+        hidden = outputs["last_hidden_state"]
+        if cfg.classifier_pooling == "cls":
+            pooled = hidden[:, 0]
+        elif cfg.classifier_pooling == "mean":
+            if padding_mask is None:
+                pooled = jnp.mean(hidden, axis=1)
+            else:
+                mask = padding_mask[..., None].astype(hidden.dtype)
+                pooled = (hidden * mask).sum(axis=1) / mask.sum(axis=1)
+        else:
+            raise ValueError(f"Unknown classifier_pooling: {cfg.classifier_pooling!r}")
+        pooled = ModernBertPredictionHead(cfg, name="head")(pooled)
+        if cfg.classifier_dropout > 0.0:
+            pooled = nn.Dropout(cfg.classifier_dropout)(
+                pooled, deterministic=deterministic
+            )
+        logits = nn.Dense(cfg.num_labels, name="classifier")(pooled)
+        return {
+            "logits": logits,
+            "last_hidden_pre_norm": outputs["last_hidden_pre_norm"],
+            "last_hidden_state": outputs["last_hidden_state"],
+        }

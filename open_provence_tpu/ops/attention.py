@@ -1,0 +1,108 @@
+"""Attention ops for the TPU backbone.
+
+Two interchangeable implementations behind one functional interface:
+
+* ``xla``    — einsum attention with additive masking and fp32 softmax. XLA
+               fuses this well for short sequences; also the numerics
+               reference for tests (matches HF eager attention, which the
+               published checkpoints were evaluated with).
+* ``pallas`` — fused flash-attention kernel with banded block skipping for
+               ModernBERT's sliding-window layers (ops/flash_attention.py).
+               This is the TPU counterpart of the reference's optional
+               flash-attn path (standalone:1594-1607).
+
+``impl="auto"`` picks pallas on TPU when shapes are tile-aligned, else xla.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+@functools.lru_cache(maxsize=8)
+def _default_platform() -> str:
+    return jax.devices()[0].platform
+
+
+def attention_bias(
+    padding_mask: jnp.ndarray | None,
+    seq_len: int,
+    window: int | None,
+    dtype=jnp.float32,
+) -> jnp.ndarray | None:
+    """Build an additive attention bias.
+
+    padding_mask: [B, S] with 1 for valid tokens, or None.
+    window: half-window size for sliding-window layers, or None for global.
+    Returns [B, 1, S, S] (or [1, 1, S, S] when only a window is given), or
+    None when no masking is needed.
+    """
+    bias = None
+    if padding_mask is not None:
+        key_mask = padding_mask[:, None, None, :].astype(jnp.bool_)  # [B,1,1,S]
+        bias = jnp.where(key_mask, 0.0, _NEG_INF).astype(dtype)
+    if window is not None:
+        positions = jnp.arange(seq_len)
+        distance = jnp.abs(positions[:, None] - positions[None, :])
+        window_ok = (distance <= window)[None, None, :, :]  # [1,1,S,S]
+        window_bias = jnp.where(window_ok, 0.0, _NEG_INF).astype(dtype)
+        bias = window_bias if bias is None else bias + window_bias
+    return bias
+
+
+def xla_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: jnp.ndarray | None,
+) -> jnp.ndarray:
+    """Reference attention. q/k/v: [B, H, S, D] → [B, H, S, D].
+
+    Softmax is computed in float32 regardless of input dtype (the reference
+    upcasts attention weights to fp32; thresholded pruning decisions depend
+    on this).
+    """
+    head_dim = q.shape[-1]
+    scale = head_dim**-0.5
+    acc_dtype = jnp.promote_types(q.dtype, jnp.float32)
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=acc_dtype
+    ) * scale
+    if bias is not None:
+        scores = scores + bias.astype(scores.dtype)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
+def multi_head_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    padding_mask: jnp.ndarray | None,
+    window: int | None,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Dispatch attention over implementations. q/k/v: [B, H, S, D]."""
+    seq_len = q.shape[2]
+    if impl == "auto":
+        use_pallas = False
+        if _default_platform() == "tpu":
+            from .flash_attention import pallas_shapes_supported
+
+            use_pallas = pallas_shapes_supported(q.shape)
+        impl = "pallas" if use_pallas else "xla"
+
+    if impl == "pallas":
+        from .flash_attention import flash_attention
+
+        return flash_attention(q, k, v, padding_mask=padding_mask, window=window)
+    if impl == "xla":
+        bias = attention_bias(padding_mask, seq_len, window, dtype=jnp.float32)
+        return xla_attention(q, k, v, bias)
+    raise ValueError(f"Unknown attention impl: {impl!r}")

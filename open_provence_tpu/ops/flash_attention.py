@@ -1,0 +1,216 @@
+"""Pallas TPU flash attention with sliding-window band skipping.
+
+This is the TPU-native counterpart of the reference's optional
+flash-attention path (modeling_open_provence_standalone.py:1594-1607, which
+opportunistically enables CUDA flash-attn 2). ModernBERT alternates
+local(±window)/global attention; for local layers the kernel iterates only
+over key blocks inside the band, so compute scales O(S·window) instead of
+O(S²) — the win grows with sequence length (8192-token ModernBERT context).
+
+Layout: q/k/v are [B, H, S, D]. Grid is (B, H, num_q_blocks); each program
+streams key blocks for its query block with an online-softmax accumulator in
+VMEM scratch. Scores are accumulated in fp32 (parity with the reference's
+fp32 softmax), output is cast back to the input dtype.
+
+The kernel is forward-only and wrapped in ``jax.custom_vjp``: the backward
+pass recomputes attention with the XLA path, so the op is safe to use under
+``jax.grad`` while training still defaults to the XLA implementation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 128
+DEFAULT_BLOCK_K = 128
+_NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+def pallas_shapes_supported(shape: tuple[int, ...], block_q: int = DEFAULT_BLOCK_Q) -> bool:
+    """True when [B, H, S, D] is tile-aligned for the kernel."""
+    if len(shape) != 4:
+        return False
+    _, _, seq_len, head_dim = shape
+    return (
+        seq_len % block_q == 0
+        and seq_len >= block_q
+        and head_dim in (32, 64, 128, 256)
+    )
+
+
+def _flash_kernel(
+    q_ref,  # [1, 1, block_q, D]
+    k_ref,  # [1, 1, S, D]
+    v_ref,  # [1, 1, S, D]
+    mask_ref,  # [1, S] int32 (1 = valid) or None
+    o_ref,  # [1, 1, block_q, D]
+    *,
+    seq_len: int,
+    block_q: int,
+    block_k: int,
+    window: int | None,
+    scale: float,
+    has_mask: bool,
+):
+    qi = pl.program_id(2)
+    q = q_ref[0, 0].astype(jnp.float32) * scale  # [bq, D]
+
+    num_k_blocks = seq_len // block_k
+    if window is None:
+        k_lo = 0
+        k_hi = num_k_blocks
+    else:
+        # Query rows span [qi*bq, (qi+1)*bq); keys within ±window.
+        q_start = qi * block_q
+        q_end = q_start + block_q - 1
+        k_lo = jnp.maximum(0, (q_start - window) // block_k)
+        k_hi = jnp.minimum(num_k_blocks, (q_end + window) // block_k + 1)
+
+    row_ids = (
+        jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) + qi * block_q
+    )
+
+    def body(kj, carry):
+        m_prev, l_prev, acc_prev = carry
+        k_off = kj * block_k
+        k = k_ref[0, 0, pl.ds(k_off, block_k), :].astype(jnp.float32)  # [bk, D]
+        v = v_ref[0, 0, pl.ds(k_off, block_k), :].astype(jnp.float32)
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [bq, bk]
+
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + k_off
+        if window is not None:
+            dist = jnp.abs(row_ids - col_ids)
+            s = jnp.where(dist <= window, s, _NEG_INF)
+        if has_mask:
+            kmask = mask_ref[0, pl.ds(k_off, block_k)]  # [bk]
+            s = jnp.where((kmask > 0)[None, :], s, _NEG_INF)
+
+        m_cur = jnp.max(s, axis=-1, keepdims=True)  # [bq, 1]
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)  # [bq, bk]
+        alpha = jnp.exp(m_prev - m_new)  # [bq, 1]
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc_prev * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return m_new, l_new, acc_new
+
+    head_dim = q.shape[-1]
+    init = (
+        jnp.full((block_q, 1), _NEG_INF, dtype=jnp.float32),
+        jnp.zeros((block_q, 1), dtype=jnp.float32),
+        jnp.zeros((block_q, head_dim), dtype=jnp.float32),
+    )
+    m, l, acc = jax.lax.fori_loop(k_lo, k_hi, body, init)
+    # Guard against fully-masked rows (padding queries): avoid 0/0.
+    l = jnp.where(l == 0.0, 1.0, l)
+    o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
+
+
+def _flash_forward(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    padding_mask: jnp.ndarray | None,
+    window: int | None,
+    block_q: int,
+    block_k: int,
+) -> jnp.ndarray:
+    batch, num_heads, seq_len, head_dim = q.shape
+    scale = head_dim**-0.5
+    has_mask = padding_mask is not None
+    if padding_mask is None:
+        mask_arr = jnp.ones((batch, seq_len), dtype=jnp.int32)
+    else:
+        mask_arr = padding_mask.astype(jnp.int32)
+
+    grid = (batch, num_heads, seq_len // block_q)
+    kernel = functools.partial(
+        _flash_kernel,
+        seq_len=seq_len,
+        block_q=block_q,
+        block_k=block_k,
+        window=window,
+        scale=scale,
+        has_mask=has_mask,
+    )
+    # Keep K/V in VMEM for typical shapes; extremely long sequences would need
+    # a double-buffered HBM variant.
+    kv_spec = pl.BlockSpec((1, 1, seq_len, head_dim), lambda b, h, i: (b, h, 0, 0))
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, head_dim), lambda b, h, i: (b, h, i, 0)),
+            kv_spec,
+            kv_spec,
+            pl.BlockSpec((1, seq_len), lambda b, h, i: (b, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, head_dim), lambda b, h, i: (b, h, i, 0)),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * batch * num_heads * seq_len * seq_len * head_dim,
+            bytes_accessed=q.size * q.dtype.itemsize * 4,
+            transcendentals=batch * num_heads * seq_len * seq_len,
+        ),
+    )(q, k, v, mask_arr)
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _flash_attention_core(q, k, v, mask_arr, window, block_q, block_k):
+    padding_mask = mask_arr if mask_arr is not None else None
+    return _flash_forward(q, k, v, padding_mask, window, block_q, block_k)
+
+
+def _xla_reference(q, k, v, mask_arr, window):
+    from .attention import attention_bias, xla_attention
+
+    bias = attention_bias(mask_arr, q.shape[2], window, dtype=jnp.float32)
+    return xla_attention(q, k, v, bias)
+
+
+def _flash_fwd(q, k, v, mask_arr, window, block_q, block_k):
+    out = _flash_attention_core(q, k, v, mask_arr, window, block_q, block_k)
+    return out, (q, k, v, mask_arr)
+
+
+def _flash_bwd(window, block_q, block_k, residuals, g):
+    q, k, v, mask_arr = residuals
+    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_reference(q_, k_, v_, mask_arr, window), q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+_flash_attention_core.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    padding_mask: jnp.ndarray | None,
+    window: int | None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+) -> jnp.ndarray:
+    """Flash attention on [B, H, S, D]. S must be a multiple of block_q."""
+    if not pallas_shapes_supported(q.shape, block_q):
+        raise ValueError(
+            f"flash_attention requires S % {block_q} == 0 and head_dim in "
+            f"{{32,64,128,256}}; got shape {q.shape}"
+        )
+    mask_arr = None if padding_mask is None else padding_mask.astype(jnp.int32)
+    return _flash_attention_core(q, k, v, mask_arr, window, block_q, block_k)
