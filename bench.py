@@ -1,0 +1,104 @@
+"""Benchmark: query–context pairs/sec/chip on the flagship forward.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+The reference has no direct counterpart metric; its closest proxy is the
+per-dataset `inference_seconds` on an RTX 5090 (BASELINE.md). The anchor used
+for vs_baseline: the reference "base" model (ModernBERT-base, 130M) processes
+the EN eval suite's ~560 blocks of ≤512 tokens in ~0.69 s → ≈810 pairs/sec on
+an RTX 5090. vs_baseline = our pairs/sec / 810.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_PAIRS_PER_SEC = 810.0
+
+
+def main() -> None:
+    import jax
+
+    from __graft_entry__ import _flagship_config
+    from open_provence_tpu.models.model import build_module
+    import jax.numpy as jnp
+
+    config = _flagship_config()
+    module = build_module(config)
+    params = module.init(
+        jax.random.PRNGKey(0),
+        np.zeros((1, 8), dtype=np.int32),
+        np.ones((1, 8), dtype=np.int32),
+        attention_impl="xla",
+    )["params"]
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if jnp.issubdtype(x.dtype, jnp.floating)
+        else x,
+        params,
+    )
+
+    platform = jax.devices()[0].platform
+    attention_impl = "auto"
+
+    @jax.jit
+    def forward(params, input_ids, attention_mask):
+        out = module.apply(
+            {"params": params},
+            input_ids,
+            attention_mask,
+            deterministic=True,
+            attention_impl=attention_impl,
+        )
+        from open_provence_tpu.models.model import (
+            keep_probs_from_logits,
+            ranking_score_from_logits,
+        )
+
+        return (
+            ranking_score_from_logits(out["ranking_logits"]),
+            keep_probs_from_logits(out["pruning_logits"]),
+        )
+
+    batch, seq = (32, 512) if platform == "tpu" else (4, 128)
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 50000, size=(batch, seq)).astype(np.int32)
+    attention_mask = jnp.ones((batch, seq), dtype=jnp.int32)
+
+    iters = 20 if platform == "tpu" else 3
+    # Distinct pre-staged inputs: defeats any identical-call caching in the
+    # device tunnel.
+    inputs = [jnp.asarray(np.roll(base, i, axis=1)) for i in range(iters)]
+    jax.device_get([x[0, 0] for x in inputs])  # ensure inputs are staged
+
+    # Warmup/compile + full host fetch (block_until_ready is not a reliable
+    # sync point over the axon tunnel; only device_get is).
+    r, k = forward(params, inputs[0], attention_mask)
+    jax.device_get((r, k))
+
+    start = time.perf_counter()
+    outs = [forward(params, ids, attention_mask) for ids in inputs]
+    # Fetch one scalar per iteration's outputs — forces execution of every
+    # step before the clock stops.
+    fetched = jax.device_get([(o[0][0], o[1][0, 0]) for o in outs])
+    elapsed = time.perf_counter() - start
+    assert all(np.isfinite(v) for pair in fetched for v in pair)
+
+    pairs_per_sec = batch * iters / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "qc_pairs_per_sec_per_chip_base512",
+                "value": round(pairs_per_sec, 2),
+                "unit": "pairs/s",
+                "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

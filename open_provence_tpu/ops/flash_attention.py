@@ -47,7 +47,7 @@ def _flash_kernel(
     q_ref,  # [1, 1, block_q, D]
     k_ref,  # [1, 1, S, D]
     v_ref,  # [1, 1, S, D]
-    mask_ref,  # [1, S] int32 (1 = valid) or None
+    mask_ref,  # [1, 1, S] int32 (1 = valid)
     o_ref,  # [1, 1, block_q, D]
     *,
     seq_len: int,
@@ -90,7 +90,7 @@ def _flash_kernel(
             dist = jnp.abs(row_ids - col_ids)
             s = jnp.where(dist <= window, s, _NEG_INF)
         if has_mask:
-            kmask = mask_ref[0, pl.ds(k_off, block_k)]  # [bk]
+            kmask = mask_ref[0, 0, pl.ds(k_off, block_k)]  # [bk]
             s = jnp.where((kmask > 0)[None, :], s, _NEG_INF)
 
         m_cur = jnp.max(s, axis=-1, keepdims=True)  # [bq, 1]
@@ -128,9 +128,9 @@ def _flash_forward(
     scale = head_dim**-0.5
     has_mask = padding_mask is not None
     if padding_mask is None:
-        mask_arr = jnp.ones((batch, seq_len), dtype=jnp.int32)
+        mask_arr = jnp.ones((batch, 1, seq_len), dtype=jnp.int32)
     else:
-        mask_arr = padding_mask.astype(jnp.int32)
+        mask_arr = padding_mask.astype(jnp.int32).reshape(batch, 1, seq_len)
 
     grid = (batch, num_heads, seq_len // block_q)
     kernel = functools.partial(
@@ -152,7 +152,7 @@ def _flash_forward(
             pl.BlockSpec((1, 1, block_q, head_dim), lambda b, h, i: (b, h, i, 0)),
             kv_spec,
             kv_spec,
-            pl.BlockSpec((1, seq_len), lambda b, h, i: (b, 0)),
+            pl.BlockSpec((1, 1, seq_len), lambda b, h, i: (b, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, 1, block_q, head_dim), lambda b, h, i: (b, h, i, 0)),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),

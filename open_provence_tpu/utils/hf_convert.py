@@ -88,10 +88,14 @@ def _set(tree: dict, path: tuple[str, ...], value: np.ndarray) -> None:
 
 
 def hf_to_flax_params(
-    state_dict: Mapping[str, Any], config: OpenProvenceConfig
+    state_dict: Mapping[str, Any],
+    config: OpenProvenceConfig,
+    *,
+    strict: bool = True,
 ) -> dict[str, Any]:
     """Convert a merged torch-layout state dict to the Flax param tree of
-    ``OpenProvenceModule``."""
+    ``OpenProvenceModule``. With ``strict=False``, missing source keys are
+    skipped (partial init from a backbone-only checkpoint)."""
     sd = normalize_state_dict(state_dict)
     backbone = config.backbone()
     params: dict[str, Any] = {}
@@ -103,22 +107,33 @@ def hf_to_flax_params(
         return np.asarray(value)
 
     def linear(src: str, dst: tuple[str, ...], bias: bool) -> None:
+        if f"{src}.weight" not in sd:
+            if strict:
+                raise KeyError(f"{src}.weight missing from state dict")
+            return
         _set(params, dst + ("kernel",), arr(f"{src}.weight").T)
         if bias and f"{src}.bias" in sd:
             _set(params, dst + ("bias",), arr(f"{src}.bias"))
 
     def layernorm(src: str, dst: tuple[str, ...], bias: bool) -> None:
+        if f"{src}.weight" not in sd:
+            if strict:
+                raise KeyError(f"{src}.weight missing from state dict")
+            return
         _set(params, dst + ("scale",), arr(f"{src}.weight"))
         if bias and f"{src}.bias" in sd:
             _set(params, dst + ("bias",), arr(f"{src}.bias"))
 
     rb = "ranking_model.model"
     rm = ("ranking_model", "model")
-    _set(
-        params,
-        rm + ("embeddings", "tok_embeddings", "embedding"),
-        arr(f"{rb}.embeddings.tok_embeddings.weight"),
-    )
+    if f"{rb}.embeddings.tok_embeddings.weight" in sd:
+        _set(
+            params,
+            rm + ("embeddings", "tok_embeddings", "embedding"),
+            arr(f"{rb}.embeddings.tok_embeddings.weight"),
+        )
+    elif strict:
+        raise KeyError(f"{rb}.embeddings.tok_embeddings.weight missing from state dict")
     layernorm(f"{rb}.embeddings.norm", rm + ("embeddings", "norm"), backbone.norm_bias)
 
     for i in range(backbone.num_hidden_layers):

@@ -107,3 +107,74 @@ class ModernBertLikeTokenizer(DummyTokenizer):
     probe path (standalone:1501-1538)."""
 
     drops_specials = True
+
+
+class PairDummyTokenizer(DummyTokenizer):
+    """Adds (query, document) pair encoding with padding/truncation/offset
+    mappings — enough surface for the training collator."""
+
+    eos_token_id = 2
+
+    def _encode_pair(self, query: str, doc: str):
+        q_ids = self._encode_text(query)
+        d_ids = self._encode_text(doc)
+        ids = [self.cls_token_id] + q_ids + [self.sep_token_id] + d_ids + [self.sep_token_id]
+        offsets = (
+            [(0, 0)]
+            + [(i, i + 1) for i in range(len(query))]
+            + [(0, 0)]
+            + [(i, i + 1) for i in range(len(doc))]
+            + [(0, 0)]
+        )
+        return ids, offsets
+
+    def __call__(
+        self,
+        texts,
+        add_special_tokens: bool = True,
+        return_attention_mask: bool = True,
+        padding=False,
+        truncation=False,
+        max_length=None,
+        return_offsets_mapping: bool = False,
+        return_tensors=None,
+        **kwargs,
+    ):
+        if isinstance(texts, str):
+            texts = [texts]
+        all_ids, all_offsets = [], []
+        for item in texts:
+            if (
+                isinstance(item, (list, tuple))
+                and len(item) == 2
+                and all(isinstance(x, str) for x in item)
+            ):
+                ids, offsets = self._encode_pair(item[0], item[1])
+            else:
+                text = item if isinstance(item, str) else "".join(item)
+                ids = self.encode(text, add_special_tokens=add_special_tokens)
+                offsets = [(i, i + 1) for i in range(len(ids))]
+            if truncation and max_length is not None:
+                ids = ids[:max_length]
+                offsets = offsets[:max_length]
+            all_ids.append(ids)
+            all_offsets.append(offsets)
+
+        attention = [[1] * len(ids) for ids in all_ids]
+        if padding:
+            target = (
+                max_length
+                if padding == "max_length" and max_length is not None
+                else max(len(ids) for ids in all_ids)
+            )
+            for i, ids in enumerate(all_ids):
+                pad_n = target - len(ids)
+                all_ids[i] = ids + [self.pad_token_id] * pad_n
+                attention[i] = attention[i] + [0] * pad_n
+                all_offsets[i] = all_offsets[i] + [(0, 0)] * pad_n
+
+        out = _Batch(all_ids)
+        out["attention_mask"] = attention
+        if return_offsets_mapping:
+            out["offset_mapping"] = all_offsets
+        return out
