@@ -1,0 +1,216 @@
+"""End-to-end process() parity vs the reference implementation.
+
+Builds the reference's torch OpenProvenceModel (tiny ModernBERT backbone,
+random init) and this framework's JAX OpenProvenceModel from the SAME
+converted weights and the SAME real HF fast tokenizer, runs process() on
+identical inputs, and compares pruned text, keep decisions, scores, and
+compression. This is the strongest contract check: any divergence in
+fragmentation, block packing, tokenizer-edge handling, forward numerics, or
+postprocess aggregation shows up here.
+
+Gated on /root/reference being mounted (CI-equivalent of the reference's
+checkpoint-gated integration tests, SURVEY §4).
+"""
+
+import re
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REFERENCE_ROOT = Path("/root/reference")
+HAS_REFERENCE = (REFERENCE_ROOT / "open_provence").exists()
+
+pytestmark = pytest.mark.skipif(not HAS_REFERENCE, reason="reference repo not mounted")
+
+
+def _simple_en_splitter(text: str) -> list[str]:
+    """Deterministic whitespace-preserving splitter shared by both sides
+    (punkt data is unavailable offline; the splitter is an injectable
+    dependency in both implementations)."""
+    if not text:
+        return []
+    parts = re.findall(r".*?(?:[.!?](?:\s+|$)|\n+|$)", text, flags=re.S)
+    return [p for p in parts if p]
+
+
+@pytest.fixture(scope="module")
+def both_models(tmp_path_factory):
+    torch = pytest.importorskip("torch")
+    if str(REFERENCE_ROOT) not in sys.path:
+        sys.path.insert(0, str(REFERENCE_ROOT))
+    import open_provence.modeling_open_provence_standalone as ref
+
+    tmp = tmp_path_factory.mktemp("assets")
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    from make_toy_assets import build_tokenizer
+
+    tokenizer, vocab_size = build_tokenizer(tmp / "tok")
+
+    base_model_config = {
+        "model_type": "modernbert",
+        "vocab_size": vocab_size,
+        "hidden_size": 64,
+        "intermediate_size": 96,
+        "num_hidden_layers": 4,
+        "num_attention_heads": 4,
+        "max_position_embeddings": 256,
+        "local_attention": 16,
+        "global_attn_every_n_layers": 3,
+        "norm_eps": 1e-5,
+        "norm_bias": False,
+        "pad_token_id": 0,
+        "cls_token_id": 2,
+        "sep_token_id": 3,
+        "reference_compile": False,
+        "attn_implementation": "eager",
+    }
+    ref_config = ref.OpenProvenceConfig(
+        base_model_config=base_model_config,
+        tokenizer_name_or_path=str(tmp / "tok"),
+        num_labels=1,
+        num_pruning_labels=2,
+        max_length=64,
+        pruning_config={"hidden_size": 64, "classifier_dropout": 0.0},
+    )
+    torch.manual_seed(0)
+    ref_model = ref.OpenProvenceModel(ref_config)
+    ref_model.eval()
+
+    from open_provence_tpu.configs import OpenProvenceConfig
+    from open_provence_tpu.inference import OpenProvenceModel
+    from open_provence_tpu.utils.hf_convert import hf_to_flax_params
+
+    my_config = OpenProvenceConfig(
+        base_model_config=base_model_config,
+        num_labels=1,
+        pruning_config={"hidden_size": 64, "classifier_dropout": 0.0},
+        max_length=64,
+    )
+    params = hf_to_flax_params(ref_model.state_dict(), my_config)
+    my_model = OpenProvenceModel(
+        my_config, params, tokenizer, attention_impl="xla", bucket_step=16
+    )
+    return ref_model, my_model
+
+
+CONTEXT = (
+    "sushi is the best dish in kyoto market . "
+    "budget spreadsheet deadline piled in the morning . "
+    "travel to tokyo in spring for the festival . "
+    "plants and electricity bill before sleep ."
+)
+QUERY = "what about sushi in kyoto ?"
+
+
+def _run_both(ref_model, my_model, question, context, **kwargs):
+    common = dict(
+        title=None,
+        sentence_splitter=_simple_en_splitter,
+        show_progress=False,
+        return_sentence_metrics=True,
+        return_sentence_texts=True,
+        batch_size=4,
+    )
+    common.update(kwargs)
+    ref_out = ref_model.process(question, context, **common)
+    my_out = my_model.process(question, context, **common)
+    return ref_out, my_out
+
+
+@pytest.mark.parametrize("threshold", [0.2, 0.5, 0.8])
+def test_process_parity_single_pair(both_models, threshold):
+    ref_model, my_model = both_models
+    ref_out, my_out = _run_both(ref_model, my_model, QUERY, CONTEXT, threshold=threshold)
+
+    ref_probs = np.asarray(ref_out["sentence_probabilities"], dtype=np.float64)
+    my_probs = np.asarray(my_out["sentence_probabilities"], dtype=np.float64)
+    assert ref_probs.shape == my_probs.shape
+    np.testing.assert_allclose(my_probs, ref_probs, atol=2e-3)
+    # Keep decisions must agree when probabilities are not within noise of
+    # the threshold.
+    decisive = np.abs(ref_probs - threshold) > 5e-3
+    assert np.all((my_probs > threshold)[decisive] == (ref_probs > threshold)[decisive])
+    if bool(np.all(decisive)):
+        assert my_out["pruned_context"] == ref_out["pruned_context"]
+        assert my_out["kept_sentences"] == ref_out["kept_sentences"]
+        assert my_out["removed_sentences"] == ref_out["removed_sentences"]
+        np.testing.assert_allclose(
+            my_out["compression_rate"], ref_out["compression_rate"], atol=1e-6
+        )
+    np.testing.assert_allclose(
+        my_out["reranking_score"], ref_out["reranking_score"], atol=2e-3
+    )
+
+
+def test_process_parity_long_multiblock(both_models):
+    """Context much longer than max_length → multi-fragment, multi-block
+    path, including ModernBERT manual-specials tokenizer handling."""
+    ref_model, my_model = both_models
+    long_context = " ".join(
+        f"sentence number {i} about {w} in the market ."
+        for i, w in enumerate(["sushi", "ramen", "kyoto", "budget", "plants",
+                               "train", "temple", "river", "matcha", "hotel"] * 4)
+    )
+    ref_out, my_out = _run_both(
+        ref_model, my_model, QUERY, long_context, threshold=0.5
+    )
+    ref_probs = np.asarray(ref_out["sentence_probabilities"], dtype=np.float64)
+    my_probs = np.asarray(my_out["sentence_probabilities"], dtype=np.float64)
+    assert ref_probs.shape == my_probs.shape
+    np.testing.assert_allclose(my_probs, ref_probs, atol=2e-3)
+    np.testing.assert_allclose(
+        my_out["reranking_score"], ref_out["reranking_score"], atol=2e-3
+    )
+
+
+def test_process_parity_batched_nested_with_titles(both_models):
+    ref_model, my_model = both_models
+    questions = ["what about sushi ?", "what about budget ?"]
+    contexts = [
+        [CONTEXT, "ramen shop near the station ."],
+        ["budget deadline spreadsheet . sleep later ."],
+    ]
+    titles = [["Sushi Doc", "Ramen Doc"], ["Budget Doc"]]
+    common = dict(
+        sentence_splitter=_simple_en_splitter,
+        show_progress=False,
+        return_sentence_metrics=True,
+        batch_size=4,
+        threshold=0.5,
+        always_select_title=True,
+    )
+    ref_out = ref_model.process(questions, contexts, title=titles, **common)
+    my_out = my_model.process(questions, contexts, title=titles, **common)
+
+    assert my_out["title"] == ref_out["title"]
+    for q in range(2):
+        for c in range(len(contexts[q])):
+            ref_probs = np.asarray(
+                ref_out["sentence_probabilities"][q][c], dtype=np.float64
+            )
+            my_probs = np.asarray(
+                my_out["sentence_probabilities"][q][c], dtype=np.float64
+            )
+            assert ref_probs.shape == my_probs.shape
+            np.testing.assert_allclose(my_probs, ref_probs, atol=2e-3)
+            np.testing.assert_allclose(
+                my_out["reranking_score"][q][c],
+                ref_out["reranking_score"][q][c],
+                atol=2e-3,
+            )
+
+
+def test_process_parity_raw_predictions(both_models):
+    ref_model, my_model = both_models
+    contexts = ["sushi market kyoto . ", "budget deadline spreadsheet ."]
+    ref_raw = ref_model.get_raw_predictions(QUERY, contexts)
+    my_raw = my_model.get_raw_predictions(QUERY, contexts)
+    assert my_raw.context_ranges == ref_raw.context_ranges
+    np.testing.assert_allclose(
+        my_raw.pruning_probs, ref_raw.pruning_probs, atol=2e-3
+    )
+    np.testing.assert_allclose(
+        my_raw.ranking_score, ref_raw.ranking_score, atol=2e-3
+    )
