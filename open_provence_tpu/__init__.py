@@ -12,6 +12,11 @@ from .configs import (
     OpenProvenceConfig,
     PruningHeadConfig,
 )
+from .data_structures import (
+    OpenProvenceOnlyOutput,
+    OpenProvenceOutput,
+    RerankingOpenProvenceOutput,
+)
 from .models.model import (
     OpenProvenceModule,
     build_module,
@@ -21,12 +26,30 @@ from .models.model import (
 
 __version__ = "0.1.0"
 
+
+def __getattr__(name):
+    # Lazy heavy imports so `import open_provence_tpu` stays light.
+    if name == "OpenProvenceEncoder":
+        from .encoder import OpenProvenceEncoder
+
+        return OpenProvenceEncoder
+    if name == "OpenProvenceModel":
+        from .inference import OpenProvenceModel
+
+        return OpenProvenceModel
+    raise AttributeError(name)
+
 __all__ = [
     "DEFAULT_PROCESS_THRESHOLD",
     "ModernBertBackboneConfig",
     "OpenProvenceConfig",
     "PruningHeadConfig",
     "OpenProvenceModule",
+    "OpenProvenceEncoder",
+    "OpenProvenceModel",
+    "OpenProvenceOutput",
+    "OpenProvenceOnlyOutput",
+    "RerankingOpenProvenceOutput",
     "build_module",
     "keep_probs_from_logits",
     "ranking_score_from_logits",
