@@ -43,17 +43,11 @@ def pad_block_batch(
     batch_size: int,
     pad_token_id: int,
 ) -> dict[str, np.ndarray]:
-    """Pad a list of prepared block inputs to [batch_size, seq_len] arrays.
+    """Pad a list of prepared block inputs to [batch_size, seq_len] arrays
+    via the native fill op. Rows beyond len(prepared) are full padding
+    (attention all zeros)."""
+    from ..native import pad_block_batch_i32
 
-    Rows beyond len(prepared) are full padding (attention all zeros)."""
-    input_ids = np.full((batch_size, seq_len), pad_token_id, dtype=np.int32)
-    attention = np.zeros((batch_size, seq_len), dtype=np.int32)
-    for row, entry in enumerate(prepared):
-        ids = entry["input_ids"][:seq_len]
-        n = len(ids)
-        if n == 0:
-            continue
-        input_ids[row, :n] = ids
-        attn = entry.get("attention_mask") or [1] * n
-        attention[row, :n] = attn[:n]
+    rows = [entry["input_ids"] for entry in prepared]
+    input_ids, attention = pad_block_batch_i32(rows, seq_len, batch_size, pad_token_id)
     return {"input_ids": input_ids, "attention_mask": attention}

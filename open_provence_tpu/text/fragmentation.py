@@ -289,31 +289,25 @@ def assemble_blocks(
 ) -> list[list[FragmentRecord]]:
     """Greedy packing of fragments into ≤max_length blocks
     (standalone:2222-2259): available = max_length − 2 specials; oversize
-    fragments truncated to the remaining capacity."""
+    fragments truncated to the remaining capacity. The packing plan is
+    computed by the native op (open_provence_tpu/native); truncation text
+    decoding stays host-Python (needs the tokenizer)."""
     if not fragments:
         return []
     available_len = max_length - 2  # [CLS], [SEP]
     base_len = query_token_length + sep_token_length
     max_fragment_capacity = max(1, available_len - base_len)
 
-    blocks: list[list[FragmentRecord]] = []
-    current_block: list[FragmentRecord] = []
-    current_len = base_len
-    for fragment in fragments:
-        fragment_len = fragment.token_length
-        if current_len + fragment_len <= available_len:
-            current_block.append(fragment)
-            current_len += fragment_len
-            continue
-        if current_block:
-            blocks.append(current_block)
-            current_block = []
-            current_len = base_len
-        truncated = truncate_fragment(tokenizer, fragment, max_fragment_capacity)
-        current_block.append(truncated)
-        current_len = base_len + truncated.token_length
-    if current_block:
-        blocks.append(current_block)
+    from ..native import greedy_pack
+
+    block_ids, new_lens, n_blocks = greedy_pack(
+        [f.token_length for f in fragments], base_len, available_len
+    )
+    blocks: list[list[FragmentRecord]] = [[] for _ in range(n_blocks)]
+    for fragment, block_id, new_len in zip(fragments, block_ids, new_lens):
+        if new_len < fragment.token_length:
+            fragment = truncate_fragment(tokenizer, fragment, max_fragment_capacity)
+        blocks[int(block_id)].append(fragment)
     return blocks
 
 

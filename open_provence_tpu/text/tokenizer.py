@@ -175,19 +175,11 @@ class TokenizerAdapter:
             if token_type_ids is not None:
                 token_type_ids = [int(t) for t in token_type_ids]
 
-        def _find_subsequence_start(haystack: Sequence[int], needle: Sequence[int]) -> int:
-            if not needle:
-                return -1
-            needle_list = list(needle)
-            limit = len(haystack) - len(needle_list) + 1
-            for idx in range(max(limit, 0)):
-                if list(haystack[idx : idx + len(needle_list)]) == needle_list:
-                    return idx
-            return -1
+        from ..native import find_subsequence
 
         ranges: list[tuple[int, int]] = []
         if context_tokens:
-            context_start = _find_subsequence_start(input_ids, context_tokens)
+            context_start = find_subsequence(input_ids, context_tokens)
             if context_start < 0:
                 prefix_ids = tokenizer.build_inputs_with_special_tokens(query_list, [])
                 context_start = len(prefix_ids)

@@ -1,0 +1,119 @@
+"""Native host ops: build/load, and randomized parity between the C++
+implementations and the Python fallbacks."""
+
+import numpy as np
+import pytest
+
+from open_provence_tpu import native
+
+
+def _python_find_subsequence(haystack, needle):
+    if not needle:
+        return -1
+    n, m = len(haystack), len(needle)
+    for i in range(n - m + 1):
+        if list(haystack[i : i + m]) == list(needle):
+            return i
+    return -1
+
+
+def _python_greedy_pack(lens, base_len, available_len):
+    capacity = max(1, available_len - base_len)
+    block_ids, new_lens = [], []
+    block, current_len, block_open = 0, base_len, False
+    for length in lens:
+        if current_len + length <= available_len:
+            block_ids.append(block)
+            new_lens.append(length)
+            current_len += length
+            block_open = True
+            continue
+        if block_open:
+            block += 1
+            block_open = False
+            current_len = base_len
+        truncated = min(length, capacity)
+        block_ids.append(block)
+        new_lens.append(truncated)
+        current_len = base_len + truncated
+        block_open = True
+    return block_ids, new_lens, block + 1
+
+
+def test_native_library_builds():
+    # g++ is in the image; the library must build and load.
+    assert native.is_available()
+
+
+def test_find_subsequence_parity_randomized():
+    rng = np.random.default_rng(0)
+    for _ in range(200):
+        n = int(rng.integers(0, 40))
+        m = int(rng.integers(0, 6))
+        hay = rng.integers(0, 5, size=n).tolist()
+        if m and n >= m and rng.random() < 0.5:
+            start = int(rng.integers(0, n - m + 1))
+            needle = hay[start : start + m]
+        else:
+            needle = rng.integers(0, 5, size=m).tolist()
+        assert native.find_subsequence(hay, needle) == _python_find_subsequence(hay, needle)
+
+
+def test_find_subsequence_edges():
+    assert native.find_subsequence([1, 2, 3], []) == -1
+    assert native.find_subsequence([], [1]) == -1
+    assert native.find_subsequence([1, 2, 3], [1, 2, 3]) == 0
+    assert native.find_subsequence([1, 2, 3], [2, 3]) == 1
+    assert native.find_subsequence([1, 2], [1, 2, 3]) == -1
+
+
+def test_greedy_pack_parity_randomized():
+    rng = np.random.default_rng(1)
+    for _ in range(200):
+        n = int(rng.integers(0, 20))
+        lens = rng.integers(1, 30, size=n).tolist()
+        base = int(rng.integers(0, 10))
+        available = int(rng.integers(base + 1, base + 40))
+        got_ids, got_lens, got_blocks = native.greedy_pack(lens, base, available)
+        exp_ids, exp_lens, exp_blocks = _python_greedy_pack(lens, base, available)
+        if n == 0:
+            assert got_blocks == 0
+            continue
+        assert got_ids.tolist() == exp_ids
+        assert got_lens.tolist() == exp_lens
+        assert got_blocks == exp_blocks
+
+
+def test_greedy_pack_matches_reference_assemble():
+    """The plan must reproduce assemble_blocks grouping for packed text."""
+    from tests.dummy_tokenizers import DummyTokenizer
+    from open_provence_tpu.text import FragmentRecord, assemble_blocks
+
+    tok = DummyTokenizer()
+    rng = np.random.default_rng(2)
+    fragments = []
+    for i in range(15):
+        n = int(rng.integers(1, 12))
+        tokens = [ord("a") + 10 + int(x) for x in rng.integers(0, 20, size=n)]
+        fragments.append(
+            FragmentRecord("x" * n, i, 0, i, n, tokens)
+        )
+    blocks = assemble_blocks(tok, 20, 4, 0, fragments)
+    # Invariants: every block fits, order preserved, all fragments present.
+    flat = [f.global_index for b in blocks for f in b]
+    assert flat == sorted(flat)
+    assert len(flat) == len(fragments)
+    for block in blocks:
+        assert 4 + sum(f.token_length for f in block) <= 18
+
+
+def test_pad_block_batch_parity():
+    rows = [[1, 2, 3], [], [4] * 10]
+    ids, attn = native.pad_block_batch_i32(rows, seq_len=5, batch_size=4, pad_id=9)
+    assert ids.shape == (4, 5)
+    assert ids[0].tolist() == [1, 2, 3, 9, 9]
+    assert attn[0].tolist() == [1, 1, 1, 0, 0]
+    assert ids[1].tolist() == [9] * 5
+    assert ids[2].tolist() == [4] * 5  # truncated to seq_len
+    assert attn[2].tolist() == [1] * 5
+    assert ids[3].tolist() == [9] * 5 and attn[3].sum() == 0
