@@ -92,6 +92,7 @@ class OpenProvenceModel:
         attention_impl: str = "auto",
         bucket_step: int = 64,
         mesh: Any = None,
+        device_pooling: bool = True,
     ):
         self.config = config
         self.module = OpenProvenceModule(
@@ -114,7 +115,12 @@ class OpenProvenceModel:
         self.attention_impl = attention_impl
         self.bucket_step = int(bucket_step)
         self.mesh = mesh
+        # Device-side fragment mean pooling (ops/segment.py): exact only when
+        # no title-prefix offset correction applies; the engine falls back to
+        # token-prob transfer otherwise.
+        self.device_pooling = bool(device_pooling)
         self._jit_cache: dict[tuple[int, int], Callable] = {}
+        self._jit_pool_cache: dict[tuple[int, int], Callable] = {}
 
     # --- loading -------------------------------------------------------------
 
@@ -200,6 +206,57 @@ class OpenProvenceModel:
         fn = self._forward_fn(batch, seq_len)
         rank, keep = fn(self.params, jnp.asarray(input_ids), jnp.asarray(attention_mask))
         return np.asarray(jax.device_get(rank)), np.asarray(jax.device_get(keep))
+
+    def _pooled_forward_fn(self, batch: int, seq_len: int) -> Callable:
+        """Forward + on-device fragment mean pooling: only [B] scores and
+        [B, F] fragment means cross the device boundary."""
+        key = (batch, seq_len)
+        fn = self._jit_pool_cache.get(key)
+        if fn is not None:
+            return fn
+
+        module = self.module
+        impl = self.attention_impl
+
+        def _run(params, input_ids, attention_mask, segment_ids):
+            from ..ops.segment import fragment_mean_pool
+
+            out = module.apply(
+                {"params": params},
+                input_ids,
+                attention_mask,
+                deterministic=True,
+                attention_impl=impl,
+            )
+            rank = ranking_score_from_logits(out["ranking_logits"])  # [B]
+            keep = keep_probs_from_logits(out["pruning_logits"])  # [B, S]
+            # F == S upper bound: every fragment has ≥1 token.
+            means, counts = fragment_mean_pool(keep, segment_ids, segment_ids.shape[1])
+            return rank, means, counts
+
+        fn = jax.jit(_run)
+        self._jit_pool_cache[key] = fn
+        return fn
+
+    def _run_device_batch_pooled(
+        self,
+        input_ids: np.ndarray,
+        attention_mask: np.ndarray,
+        segment_ids: np.ndarray,
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        batch, seq_len = input_ids.shape
+        fn = self._pooled_forward_fn(batch, seq_len)
+        rank, means, counts = fn(
+            self.params,
+            jnp.asarray(input_ids),
+            jnp.asarray(attention_mask),
+            jnp.asarray(segment_ids),
+        )
+        return (
+            np.asarray(jax.device_get(rank)),
+            np.asarray(jax.device_get(means)),
+            np.asarray(jax.device_get(counts)),
+        )
 
     # --- raw prediction APIs ---------------------------------------------------
 
@@ -462,6 +519,14 @@ class OpenProvenceModel:
         if not inference_jobs:
             return 0.0
 
+        # Device pooling is exact only when the title-prefix offset
+        # correction never applies (standalone:3075-3081) — i.e. no context
+        # in this call carries prefix token counts.
+        use_device_pooling = self.device_pooling and all(
+            not info.get("prefix_token_counts")
+            for info in contexts_info.values()
+        )
+
         # Prepare all block inputs on host first.
         prepared_all: list[dict[str, Any]] = []
         for job in inference_jobs:
@@ -511,21 +576,48 @@ class OpenProvenceModel:
                 n_rows = bucket_batch(len(chunk), batch_size)
                 batch_arrays = pad_block_batch(chunk, seq_len, n_rows, pad_id)
                 infer_start = perf_counter()
-                rank, keep = self._run_device_batch(
-                    batch_arrays["input_ids"], batch_arrays["attention_mask"]
-                )
-                inference_time += perf_counter() - infer_start
-                for row, entry in enumerate(chunk):
-                    job = entry["job"]
-                    n_tokens = len(entry["input_ids"])
-                    raw = RawBlockPrediction(
-                        ranking_score=float(rank[row]),
-                        pruning_probs=keep[row][:n_tokens],
-                        context_ranges=entry["ranges"],
+                if use_device_pooling:
+                    segment_ids = np.full((n_rows, seq_len), -1, dtype=np.int32)
+                    for row, entry in enumerate(chunk):
+                        for j, (frag_start, frag_end) in enumerate(entry["ranges"]):
+                            segment_ids[row, frag_start:frag_end] = j
+                    rank, means, counts = self._run_device_batch_pooled(
+                        batch_arrays["input_ids"],
+                        batch_arrays["attention_mask"],
+                        segment_ids,
                     )
-                    contexts_info[(job["query_idx"], job["context_idx"])][
-                        "raw_blocks"
-                    ].append((job["block_idx"], raw))
+                    inference_time += perf_counter() - infer_start
+                    for row, entry in enumerate(chunk):
+                        job = entry["job"]
+                        n_frags = len(entry["ranges"])
+                        frag_means = np.where(
+                            counts[row][:n_frags] > 0, means[row][:n_frags], 1.0
+                        )
+                        raw = RawBlockPrediction(
+                            ranking_score=float(rank[row]),
+                            pruning_probs=None,
+                            context_ranges=entry["ranges"],
+                            fragment_means=frag_means,
+                        )
+                        contexts_info[(job["query_idx"], job["context_idx"])][
+                            "raw_blocks"
+                        ].append((job["block_idx"], raw))
+                else:
+                    rank, keep = self._run_device_batch(
+                        batch_arrays["input_ids"], batch_arrays["attention_mask"]
+                    )
+                    inference_time += perf_counter() - infer_start
+                    for row, entry in enumerate(chunk):
+                        job = entry["job"]
+                        n_tokens = len(entry["input_ids"])
+                        raw = RawBlockPrediction(
+                            ranking_score=float(rank[row]),
+                            pruning_probs=keep[row][:n_tokens],
+                            context_ranges=entry["ranges"],
+                        )
+                        contexts_info[(job["query_idx"], job["context_idx"])][
+                            "raw_blocks"
+                        ].append((job["block_idx"], raw))
                 if progress is not None:
                     progress.update(1)
 

@@ -25,19 +25,26 @@ from ..text.fragmentation import FragmentRecord
 
 class RawBlockPrediction:
     """Per-block raw outputs (counterpart of OpenProvenceRawPrediction,
-    standalone:451-459)."""
+    standalone:451-459).
 
-    __slots__ = ("ranking_score", "pruning_probs", "context_ranges")
+    When ``fragment_means`` is set (device-side segment pooling fast path,
+    exact only when no title-prefix offset correction applies), the
+    postprocess uses it directly instead of re-deriving means from
+    ``pruning_probs``."""
+
+    __slots__ = ("ranking_score", "pruning_probs", "context_ranges", "fragment_means")
 
     def __init__(
         self,
         ranking_score: float | None,
-        pruning_probs: np.ndarray,
+        pruning_probs: np.ndarray | None,
         context_ranges: list[tuple[int, int]],
+        fragment_means: np.ndarray | None = None,
     ):
         self.ranking_score = ranking_score
         self.pruning_probs = pruning_probs
         self.context_ranges = context_ranges
+        self.fragment_means = fragment_means
 
 
 def postprocess_contexts(
@@ -131,19 +138,27 @@ def postprocess_contexts(
             prefix_counts = info.get("prefix_token_counts", [])
 
             for (_, raw), block in zip(raw_blocks, blocks):
-                block_probs = raw.pruning_probs
-                ranges = raw.context_ranges
-                for fragment, (start, end) in zip(block, ranges):
-                    # Prefix-token offset correction (standalone:3075-3081).
-                    offset = sum(prefix_counts[: fragment.sentence_index])
-                    start = max(0, start - offset)
-                    end = max(start, end - offset)
-                    end = min(end, len(block_probs))
-                    start = min(start, len(block_probs))
-                    mean_prob = (
-                        1.0 if end <= start else float(block_probs[start:end].mean())
-                    )
-                    fragment_scores[fragment.global_index].append(mean_prob)
+                if raw.fragment_means is not None:
+                    # Device-pooled fast path (engine guarantees no prefix
+                    # offsets apply on this path).
+                    for j, fragment in enumerate(block):
+                        fragment_scores[fragment.global_index].append(
+                            float(raw.fragment_means[j])
+                        )
+                else:
+                    block_probs = raw.pruning_probs
+                    ranges = raw.context_ranges
+                    for fragment, (start, end) in zip(block, ranges):
+                        # Prefix-token offset correction (standalone:3075-3081).
+                        offset = sum(prefix_counts[: fragment.sentence_index])
+                        start = max(0, start - offset)
+                        end = max(start, end - offset)
+                        end = min(end, len(block_probs))
+                        start = min(start, len(block_probs))
+                        mean_prob = (
+                            1.0 if end <= start else float(block_probs[start:end].mean())
+                        )
+                        fragment_scores[fragment.global_index].append(mean_prob)
 
                 if raw.ranking_score is not None:
                     if use_best_reranker_score:

@@ -20,6 +20,7 @@ pass recomputes attention with the XLA path, so the op is safe to use under
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -58,7 +59,16 @@ def _flash_kernel(
     has_mask: bool,
 ):
     qi = pl.program_id(2)
-    q = q_ref[0, 0].astype(jnp.float32) * scale  # [bq, D]
+    # Keep q in its input dtype (bf16 on TPU): the MXU takes low-precision
+    # inputs with fp32 accumulation. When the softmax scale is a power of
+    # two (head_dim a power of four, e.g. 64 → 1/8) it folds losslessly
+    # into q; otherwise it is applied to the fp32 scores.
+    q = q_ref[0, 0]  # [bq, D]
+    scale_is_pow2 = float(scale) != 0.0 and (abs(scale) == 2.0 ** round(
+        math.log2(abs(scale))
+    ))
+    if scale_is_pow2:
+        q = q * jnp.asarray(scale, dtype=q.dtype)
 
     num_k_blocks = seq_len // block_k
     if window is None:
@@ -78,12 +88,14 @@ def _flash_kernel(
     def body(kj, carry):
         m_prev, l_prev, acc_prev = carry
         k_off = kj * block_k
-        k = k_ref[0, 0, pl.ds(k_off, block_k), :].astype(jnp.float32)  # [bk, D]
-        v = v_ref[0, 0, pl.ds(k_off, block_k), :].astype(jnp.float32)
+        k = k_ref[0, 0, pl.ds(k_off, block_k), :]  # [bk, D] input dtype
+        v = v_ref[0, 0, pl.ds(k_off, block_k), :]
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [bq, bk]
+        )  # [bq, bk] fp32
+        if not scale_is_pow2:
+            s = s * scale
 
         col_ids = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + k_off
         if window is not None:
@@ -95,11 +107,13 @@ def _flash_kernel(
 
         m_cur = jnp.max(s, axis=-1, keepdims=True)  # [bq, 1]
         m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)  # [bq, bk]
+        p = jnp.exp(s - m_new)  # [bq, bk] fp32
         alpha = jnp.exp(m_prev - m_new)  # [bq, 1]
         l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        # p cast to the value dtype (bf16) for the MXU; fp32 accumulation.
         acc_new = acc_prev * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         return m_new, l_new, acc_new
 

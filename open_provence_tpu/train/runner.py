@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import json
 import logging
+import os
 import sys
 import time
 from pathlib import Path
@@ -102,6 +103,36 @@ def train(
         total_steps, eval_steps, logging_steps, save_steps, num_devices,
     )
 
+    # wandb logging (reference trainer.py:1463-1483); gated on availability.
+    log_fn = None
+    if training_args.report_to and "wandb" in training_args.report_to:
+        try:
+            import wandb
+
+            os.environ.setdefault("WANDB_PROJECT", "open-provence-tpu")
+            wandb.init(
+                project="open-provence-tpu",
+                name=run_name,
+                config={
+                    "model_name": model_args.model_name_or_path,
+                    "mode": "reranking_pruning",
+                    "dataset": data_args.dataset_name,
+                    "subset": data_args.subset,
+                    "num_epochs": training_args.num_train_epochs,
+                    "batch_size": training_args.per_device_train_batch_size,
+                    "learning_rate": training_args.learning_rate,
+                    "optim": training_args.optim,
+                    "ranking_weight": training_args.ranking_weight,
+                    "pruning_weight": training_args.pruning_weight,
+                    "timestamp": timestamp,
+                },
+            )
+
+            def log_fn(logs):  # noqa: F811
+                wandb.log(logs, step=logs.get("step"))
+        except ImportError:
+            logger.info("wandb not installed; skipping wandb reporting.")
+
     config, module, params = init_encoder(
         model_args.model_name_or_path,
         num_labels=model_args.num_labels,
@@ -153,6 +184,7 @@ def train(
         mesh=mesh,
         save_total_limit=training_args.save_total_limit,
         attention_impl=training_args.attention_impl,
+        log_fn=log_fn,
     )
 
     epoch_counter = {"epoch": 0}

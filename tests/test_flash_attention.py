@@ -1,0 +1,92 @@
+"""Pallas flash-attention parity vs the XLA reference path, run on CPU via
+interpret mode: global and sliding-window layers, padding masks, and the
+custom_vjp gradient path."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from open_provence_tpu.ops.attention import attention_bias, xla_attention
+from open_provence_tpu.ops.flash_attention import flash_attention, pallas_shapes_supported
+
+
+def _rand_qkv(batch=2, heads=2, seq=256, dim=64, seed=0, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    shape = (batch, heads, seq, dim)
+    q = jnp.asarray(rng.normal(size=shape), dtype=dtype)
+    k = jnp.asarray(rng.normal(size=shape), dtype=dtype)
+    v = jnp.asarray(rng.normal(size=shape), dtype=dtype)
+    return q, k, v
+
+
+def test_shapes_supported():
+    assert pallas_shapes_supported((2, 2, 256, 64))
+    assert not pallas_shapes_supported((2, 2, 200, 64))
+    assert not pallas_shapes_supported((2, 2, 256, 48))
+    assert not pallas_shapes_supported((2, 256, 64))
+
+
+@pytest.mark.parametrize("window", [None, 32])
+@pytest.mark.parametrize("padded", [False, True])
+def test_flash_matches_xla(window, padded):
+    q, k, v = _rand_qkv()
+    seq = q.shape[2]
+    padding_mask = None
+    if padded:
+        padding_mask = np.ones((q.shape[0], seq), dtype=np.int32)
+        padding_mask[0, 200:] = 0
+        padding_mask[1, 128:] = 0
+        padding_mask = jnp.asarray(padding_mask)
+
+    with pltpu.force_tpu_interpret_mode():
+        out_flash = flash_attention(q, k, v, padding_mask=padding_mask, window=window)
+    bias = attention_bias(padding_mask, seq, window, dtype=jnp.float32)
+    out_ref = xla_attention(q, k, v, bias)
+
+    flash_np = np.asarray(out_flash)
+    ref_np = np.asarray(out_ref)
+    if padding_mask is not None:
+        valid = np.asarray(padding_mask, dtype=bool)
+        flash_np = flash_np * valid[:, None, :, None]
+        ref_np = ref_np * valid[:, None, :, None]
+    np.testing.assert_allclose(flash_np, ref_np, atol=2e-5, rtol=2e-5)
+
+
+def test_flash_bf16_matches_xla_loosely():
+    q, k, v = _rand_qkv(dtype=jnp.bfloat16, seq=128)
+    with pltpu.force_tpu_interpret_mode():
+        out_flash = flash_attention(q, k, v, padding_mask=None, window=None)
+    out_ref = xla_attention(q, k, v, None)
+    np.testing.assert_allclose(
+        np.asarray(out_flash, dtype=np.float32),
+        np.asarray(out_ref, dtype=np.float32),
+        atol=3e-2,
+    )
+
+
+def test_flash_gradient_via_custom_vjp():
+    q, k, v = _rand_qkv(seq=128)
+
+    def loss_flash(q, k, v):
+        with pltpu.force_tpu_interpret_mode():
+            out = flash_attention(q, k, v, padding_mask=None, window=16)
+        return (out.astype(jnp.float32) ** 2).sum()
+
+    def loss_ref(q, k, v):
+        bias = attention_bias(None, q.shape[2], 16, dtype=jnp.float32)
+        out = xla_attention(q, k, v, bias)
+        return (out.astype(jnp.float32) ** 2).sum()
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
+
+
+def test_flash_rejects_unaligned():
+    q, k, v = _rand_qkv(seq=200)
+    with pytest.raises(ValueError):
+        flash_attention(q, k, v, padding_mask=None, window=None)
