@@ -17,6 +17,7 @@ Two interchangeable implementations behind one functional interface:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -79,6 +80,12 @@ def xla_attention(
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
 
+# Measured crossover on v5e (ModernBERT-base, bf16): XLA's fused attention
+# wins at S<=512; the banded flash kernel wins from ~S=1024 up (1.3x at
+# S=2048, more at 8192 where local layers are O(S*window)).
+PALLAS_MIN_SEQ = int(os.environ.get("OPEN_PROVENCE_TPU_PALLAS_MIN_SEQ", "1024"))
+
+
 def multi_head_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -92,7 +99,7 @@ def multi_head_attention(
     seq_len = q.shape[2]
     if impl == "auto":
         use_pallas = False
-        if _default_platform() == "tpu":
+        if _default_platform() == "tpu" and seq_len >= PALLAS_MIN_SEQ:
             from .flash_attention import pallas_shapes_supported
 
             use_pallas = pallas_shapes_supported(q.shape)

@@ -217,10 +217,15 @@ def flash_attention(
     *,
     padding_mask: jnp.ndarray | None,
     window: int | None,
-    block_q: int = DEFAULT_BLOCK_Q,
-    block_k: int = DEFAULT_BLOCK_K,
+    block_q: int | None = None,
+    block_k: int | None = None,
 ) -> jnp.ndarray:
-    """Flash attention on [B, H, S, D]. S must be a multiple of block_q."""
+    """Flash attention on [B, H, S, D]. S must be a multiple of block_q.
+
+    Block sizes default to the module-level DEFAULT_BLOCK_Q/K (late-bound so
+    they are tunable)."""
+    block_q = int(block_q or DEFAULT_BLOCK_Q)
+    block_k = int(block_k or DEFAULT_BLOCK_K)
     if not pallas_shapes_supported(q.shape, block_q):
         raise ValueError(
             f"flash_attention requires S % {block_q} == 0 and head_dim in "
