@@ -20,6 +20,7 @@ postprocess (SURVEY §3.2).
 from __future__ import annotations
 
 import logging
+import os
 from collections.abc import Callable, Mapping, Sequence
 from pathlib import Path
 from time import perf_counter
@@ -656,14 +657,13 @@ class OpenProvenceModel:
         """Prune long contexts while preserving sentence boundaries.
 
         Full argument semantics match the reference's ``process()``
-        (standalone:3314-3406): see that docstring for the contract. Args
-        ``preprocess_workers`` / ``preprocess_batch_size`` /
-        ``torch_dataloader_kwargs`` are accepted for drop-in compatibility;
-        host preprocessing here is sequential (fast HF tokenizers batch
-        internally).
+        (standalone:3314-3406): see that docstring for the contract.
+        ``preprocess_workers`` selects thread-parallel fragmentation (fast
+        tokenizers release the GIL); ``preprocess_batch_size`` /
+        ``torch_dataloader_kwargs`` are accepted for drop-in compatibility
+        but unused (there is no torch DataLoader here).
         """
-        del preprocess_workers, preprocess_batch_size, torch_dataloader_kwargs
-        del enable_warnings
+        del preprocess_batch_size, torch_dataloader_kwargs, enable_warnings
         batch_size = max(1, batch_size)
         threshold = self._resolve_process_threshold(threshold)
         start_total = perf_counter()
@@ -695,17 +695,56 @@ class OpenProvenceModel:
             queries, contexts, titles, splitter, strip_sentences=strip_sentences
         )
 
-        contexts_info: dict[tuple[int, int], dict[str, Any]] = {}
-        inference_jobs: list[dict[str, Any]] = []
-        assembly_time = 0.0
-        for job in preprocess_jobs:
-            entry = fragmentize_job(
+        def _fragmentize(job: dict[str, Any]) -> dict[str, Any]:
+            return fragmentize_job(
                 self.tokenizer,
                 job,
                 max_fragment_tokens=max_fragment_tokens,
                 splitter=splitter,
                 strip_sentences=strip_sentences,
                 respect_sentence_boundaries=respect_sentence_boundaries,
+            )
+
+        # Optional thread-parallel fragmentation (the reference uses
+        # DataLoader worker processes, standalone:3510-3651; HF fast
+        # tokenizers release the GIL so threads suffice here). Honors the
+        # OPEN_PROVENCE_PREPROCESS_WORKERS env override (standalone:2525).
+        workers = preprocess_workers
+        if workers is None:
+            env_workers = os.environ.get("OPEN_PROVENCE_PREPROCESS_WORKERS")
+            if env_workers and env_workers.isdigit():
+                workers = int(env_workers)
+        if workers and workers > 0 and len(preprocess_jobs) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                entries = list(pool.map(_fragmentize, preprocess_jobs))
+        else:
+            entries = [_fragmentize(job) for job in preprocess_jobs]
+
+        timing_totals = {
+            "sentence_collect_seconds": 0.0,
+            "sentence_normalize_seconds": 0.0,
+            "tokenize_seconds": 0.0,
+            "fragment_split_seconds": 0.0,
+            "fragment_decode_seconds": 0.0,
+        }
+        contexts_info: dict[tuple[int, int], dict[str, Any]] = {}
+        inference_jobs: list[dict[str, Any]] = []
+        assembly_time = 0.0
+        for job, entry in zip(preprocess_jobs, entries):
+            timing_totals["sentence_collect_seconds"] += entry.pop(
+                "timing_sentence_collect", 0.0
+            )
+            timing_totals["sentence_normalize_seconds"] += entry.pop(
+                "timing_sentence_normalize", 0.0
+            )
+            timing_totals["tokenize_seconds"] += entry.pop("timing_tokenize", 0.0)
+            timing_totals["fragment_split_seconds"] += entry.pop(
+                "timing_fragment_split", 0.0
+            )
+            timing_totals["fragment_decode_seconds"] += entry.pop(
+                "timing_fragment_decode", 0.0
             )
             assembly_start = perf_counter()
             key, info, jobs = self._assemble_context_info(
@@ -784,6 +823,11 @@ class OpenProvenceModel:
             inference_seconds=inference_time,
             postprocess_seconds=post_time,
             total_seconds=total_time,
+            sentence_collect_seconds=timing_totals["sentence_collect_seconds"],
+            sentence_normalize_seconds=timing_totals["sentence_normalize_seconds"],
+            tokenize_seconds=timing_totals["tokenize_seconds"],
+            fragment_split_seconds=timing_totals["fragment_split_seconds"],
+            fragment_decode_seconds=timing_totals["fragment_decode_seconds"],
         )
         if debug_callback is not None:
             debug_callback(f"[OpenProvenceModel] {performance_trace.timing_line()}")

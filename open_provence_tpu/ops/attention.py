@@ -80,10 +80,11 @@ def xla_attention(
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
 
-# Measured crossover on v5e (ModernBERT-base, bf16): XLA's fused attention
-# wins at S<=512; the banded flash kernel wins from ~S=1024 up (1.3x at
-# S=2048, more at 8192 where local layers are O(S*window)).
-PALLAS_MIN_SEQ = int(os.environ.get("OPEN_PROVENCE_TPU_PALLAS_MIN_SEQ", "1024"))
+# Measured on v5e (ModernBERT-base, bf16) with adaptive block sizes: the
+# flash kernel beats XLA's attention at every length (327 vs 287 pairs/s at
+# S=512; 75x at S=8192 where XLA materializes O(S²) fp32 scores). Keep an
+# escape hatch to force a minimum length for the pallas path.
+PALLAS_MIN_SEQ = int(os.environ.get("OPEN_PROVENCE_TPU_PALLAS_MIN_SEQ", "128"))
 
 
 def multi_head_attention(

@@ -32,6 +32,23 @@ DEFAULT_BLOCK_K = 128
 _NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
+def pick_block_sizes(seq_len: int, window: int | None) -> tuple[int, int]:
+    """Measured on v5e (ModernBERT-base): bigger blocks amortize per-program
+    overhead — bq=bk=512 gives 327 pairs/s at S=512 vs 233 at 128-blocks.
+    Local (windowed) layers cap k-blocks at 256 so band skipping keeps
+    paying at long S (each q block touches ~(2·window/block_k + 2) blocks)."""
+
+    def largest_divisor(cap: int) -> int:
+        for cand in (512, 256, 128):
+            if cand <= cap and seq_len % cand == 0:
+                return cand
+        return 128
+
+    block_q = largest_divisor(512)
+    block_k = largest_divisor(512 if window is None else 256)
+    return block_q, block_k
+
+
 def pallas_shapes_supported(shape: tuple[int, ...], block_q: int = DEFAULT_BLOCK_Q) -> bool:
     """True when [B, H, S, D] is tile-aligned for the kernel."""
     if len(shape) != 4:
@@ -222,11 +239,18 @@ def flash_attention(
 ) -> jnp.ndarray:
     """Flash attention on [B, H, S, D]. S must be a multiple of block_q.
 
-    Block sizes default to the module-level DEFAULT_BLOCK_Q/K (late-bound so
-    they are tunable)."""
+    Block sizes default to ``pick_block_sizes`` (seq/window-adaptive)."""
+    if block_q is None and block_k is None:
+        block_q, block_k = pick_block_sizes(q.shape[2], window)
     block_q = int(block_q or DEFAULT_BLOCK_Q)
     block_k = int(block_k or DEFAULT_BLOCK_K)
-    if not pallas_shapes_supported(q.shape, block_q):
+    seq_len = q.shape[2]
+    if seq_len % block_q != 0 or seq_len % block_k != 0:
+        raise ValueError(
+            f"flash_attention requires S divisible by block sizes; got "
+            f"S={seq_len}, block_q={block_q}, block_k={block_k}"
+        )
+    if not pallas_shapes_supported(q.shape, min(block_q, 128)):
         raise ValueError(
             f"flash_attention requires S % {block_q} == 0 and head_dim in "
             f"{{32,64,128,256}}; got shape {q.shape}"

@@ -190,34 +190,49 @@ def fragmentize_job(
     strip_sentences: bool,
     respect_sentence_boundaries: bool,
 ) -> dict[str, Any]:
-    """Full fragmentation of one preprocessing job (standalone:897-943)."""
+    """Full fragmentation of one preprocessing job (standalone:897-943),
+    with the reference's per-stage timing keys (standalone:934-941)."""
+    from time import perf_counter
+
     context_text = str(job.get("context_text", ""))
     cached_sentences = job.get("cached_sentences")
+    collect_time = normalize_time = 0.0
     if cached_sentences is not None:
         sentences = [str(s) for s in cached_sentences]
     else:
+        start = perf_counter()
         raw = collect_candidate_sentences(job, splitter)
+        collect_time = perf_counter() - start
+        start = perf_counter()
         sentences = normalize_sentences(raw, context_text, strip_sentences)
+        normalize_time = perf_counter() - start
 
     cached_token_lists = job.get("cached_token_lists")
+    tokenize_time = 0.0
     if cached_token_lists is not None:
         token_lists = [[int(t) for t in tokens] for tokens in cached_token_lists]
     else:
+        start = perf_counter()
         token_lists = tokenize_sentences(tokenizer, sentences)
+        tokenize_time = perf_counter() - start
 
+    start = perf_counter()
     fragments = split_token_lists(
         token_lists,
         max_fragment_tokens,
         keep_sentence_boundaries=respect_sentence_boundaries,
     )
+    split_time = perf_counter() - start
     if not fragments:
         fallback_source = fallback_sentence(context_text, strip_sentences)
         fallback_tokens = tokenizer.encode(fallback_source, add_special_tokens=False)
         fragments = [(list(fallback_tokens), 0, 0, 0)]
 
+    start = perf_counter()
     payload = decode_and_filter_fragments(
         tokenizer, fragments, strip_sentences=strip_sentences
     )
+    decode_time = perf_counter() - start
     if not payload["fragment_token_ids"]:
         tokens, sentence_idx, fragment_idx, global_idx = fragments[0]
         decoded_text = tokenizer.decode(
@@ -231,7 +246,14 @@ def fragmentize_job(
             "fragment_fragment_index": [fragment_idx],
             "fragment_global_index": [global_idx],
         }
-    entry = {"sentences": sentences}
+    entry = {
+        "sentences": sentences,
+        "timing_sentence_collect": collect_time,
+        "timing_sentence_normalize": normalize_time,
+        "timing_tokenize": tokenize_time,
+        "timing_fragment_split": split_time,
+        "timing_fragment_decode": decode_time,
+    }
     entry.update(payload)
     return entry
 

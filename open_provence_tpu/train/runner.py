@@ -292,13 +292,64 @@ def run_eval_datasets_for_model(model_path: str | Path, eval_settings: dict[str,
     subprocess.run(command, check=True)
 
 
+def _coerce_override(current: Any, raw: str) -> Any:
+    """Coerce a CLI string to the type of the current dataclass value."""
+    if isinstance(current, bool):
+        return raw.lower() in ("1", "true", "yes", "on")
+    if isinstance(current, int) and not isinstance(current, bool):
+        return int(raw)
+    if isinstance(current, float):
+        return float(raw)
+    if raw.lower() in ("none", "null"):
+        return None
+    return raw
+
+
+def apply_cli_overrides(argv: list[str], *arg_objects: Any) -> list[str]:
+    """Apply ``--name value`` pairs onto the argument dataclasses — CLI wins
+    over config values, matching the spirit of the reference's default-diff
+    merge (runner.py:244-298). Names may be bare (searched across the
+    dataclasses in order) or qualified (``training_args.learning_rate``).
+    Returns unconsumed argv entries."""
+    leftovers: list[str] = []
+    i = 0
+    while i < len(argv):
+        token = argv[i]
+        if not token.startswith("--"):
+            leftovers.append(token)
+            i += 1
+            continue
+        name = token[2:].replace("-", "_")
+        if i + 1 >= len(argv):
+            raise SystemExit(f"Missing value for override {token}")
+        raw = argv[i + 1]
+        section = None
+        if "." in name:
+            section, name = name.split(".", 1)
+        applied = False
+        section_names = ("model_args", "data_args", "training_args")
+        for sec_name, obj in zip(section_names, arg_objects):
+            if section is not None and sec_name != section:
+                continue
+            if hasattr(obj, name):
+                setattr(obj, name, _coerce_override(getattr(obj, name), raw))
+                applied = True
+                break
+        if not applied:
+            raise SystemExit(f"Unknown config override: {token}")
+        i += 2
+    return leftovers
+
+
 def main(argv: list[str] | None = None) -> None:
     """CLI: open_provence_trainer <config.yaml> [--checkpoint path]
+    [--<field> value ...]
+
+    Any argument dataclass field can be overridden from the CLI, e.g.
+    ``--learning_rate 1e-4 --data_args.subset freq2``.
 
     Env: OPEN_PROVENCE_TPU_PLATFORM=cpu forces the jax platform (this
     environment preloads a TPU plugin that overrides JAX_PLATFORMS)."""
-    import os
-
     platform = os.environ.get("OPEN_PROVENCE_TPU_PLATFORM")
     if platform:
         import jax
@@ -311,10 +362,16 @@ def main(argv: list[str] | None = None) -> None:
         checkpoint = argv[idx + 1]
         del argv[idx : idx + 2]
     if not argv:
-        print("usage: python -m open_provence_tpu.train.cli <config.yaml> [--checkpoint path]")
+        print(
+            "usage: python -m open_provence_tpu.train.cli <config.yaml> "
+            "[--checkpoint path] [--<field> value ...]"
+        )
         raise SystemExit(2)
     config_file = argv[0]
     model_args, data_args, training_args = parse_config_file(config_file)
+    leftovers = apply_cli_overrides(argv[1:], model_args, data_args, training_args)
+    if leftovers:
+        raise SystemExit(f"Unrecognized arguments: {leftovers}")
     if checkpoint:
         training_args.resume_from_checkpoint = checkpoint
     run_name = Path(config_file).stem
