@@ -13,10 +13,17 @@ import numpy as np
 
 
 def length_buckets(max_length: int, step: int = 64) -> list[int]:
-    """Bucket boundaries: multiples of ``step`` up to max_length (always
-    including max_length)."""
+    """Bucket boundaries: multiples of ``step`` up to 1024, then geometric
+    doubling up to max_length (always including max_length). Keeps the XLA
+    program count logarithmic for long-context models (ModernBERT's 8192)
+    while limiting padding waste at the common short lengths."""
     step = max(8, int(step))
-    buckets = list(range(step, max_length + 1, step))
+    arithmetic_cap = min(max_length, 1024)
+    buckets = list(range(step, arithmetic_cap + 1, step))
+    size = buckets[-1] if buckets else step
+    while size < max_length:
+        size = min(size * 2, max_length)
+        buckets.append(size)
     if not buckets or buckets[-1] != max_length:
         buckets.append(max_length)
     return buckets

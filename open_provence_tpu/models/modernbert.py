@@ -119,10 +119,11 @@ class ModernBertEncoderLayer(nn.Module):
         self,
         x: jnp.ndarray,
         padding_mask: jnp.ndarray | None,
-        *,
         deterministic: bool = True,
         attention_impl: str = "auto",
     ) -> jnp.ndarray:
+        # deterministic/attention_impl are positional so nn.remat can mark
+        # them static (jax.checkpoint rejects non-array kwargs).
         cfg = self.config
         if self.layer_id == 0:
             # Layer 0 skips attn_norm: embeddings are already normalized.
@@ -191,15 +192,14 @@ class ModernBertEncoder(nn.Module):
         )
         layer_cls = ModernBertEncoderLayer
         if remat:
+            # static_argnums index includes self at 0: (3, 4) = the
+            # deterministic / attention_impl flags.
             layer_cls = nn.remat(
-                ModernBertEncoderLayer, static_argnums=(), prevent_cse=False
+                ModernBertEncoderLayer, static_argnums=(3, 4), prevent_cse=False
             )
         for layer_id in range(cfg.num_hidden_layers):
             x = layer_cls(cfg, layer_id, name=f"layers_{layer_id}")(
-                x,
-                padding_mask,
-                deterministic=deterministic,
-                attention_impl=attention_impl,
+                x, padding_mask, deterministic, attention_impl
             )
         pre_final = x
         final = nn.LayerNorm(

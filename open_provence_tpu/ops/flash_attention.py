@@ -45,7 +45,10 @@ def pick_block_sizes(seq_len: int, window: int | None) -> tuple[int, int]:
         return 128
 
     block_q = largest_divisor(512)
-    block_k = largest_divisor(512 if window is None else 256)
+    # The smaller local-layer k block only pays once the band (±window) is
+    # much narrower than the sequence; at short S the loop overhead loses.
+    local_cap = 256 if seq_len > 1024 else 512
+    block_k = largest_divisor(512 if window is None else local_cap)
     return block_q, block_k
 
 

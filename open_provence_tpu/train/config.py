@@ -79,6 +79,7 @@ class PruningTrainingArguments:
     mesh_data: int | None = None  # data-parallel axis size (None = all devices)
     mesh_model: int = 1  # tensor-parallel axis size
     attention_impl: str = "auto"
+    gradient_checkpointing: bool = False  # remat transformer layers
 
 
 def parse_config_file(
@@ -162,5 +163,6 @@ def parse_config_file(
         mesh_data=training_config.get("mesh_data"),
         mesh_model=training_config.get("mesh_model", 1),
         attention_impl=training_config.get("attention_impl", "auto"),
+        gradient_checkpointing=training_config.get("gradient_checkpointing", False),
     )
     return model_args, data_args, training_args

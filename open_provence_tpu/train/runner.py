@@ -180,6 +180,7 @@ def train(
         ranking_weight=training_args.ranking_weight,
         pruning_weight=training_args.pruning_weight,
         bf16=training_args.bf16,
+        gradient_checkpointing=training_args.gradient_checkpointing,
         seed=training_args.seed,
         mesh=mesh,
         save_total_limit=training_args.save_total_limit,

@@ -190,6 +190,7 @@ class OpenProvenceTrainer:
         ranking_weight: float = 0.05,
         pruning_weight: float = 1.0,
         bf16: bool = True,
+        gradient_checkpointing: bool = False,
         seed: int = 42,
         mesh: Any = None,
         tensor_parallel: bool = False,
@@ -206,6 +207,7 @@ class OpenProvenceTrainer:
         self.ranking_weight = ranking_weight
         self.pruning_weight = pruning_weight
         self.bf16 = bf16
+        self.gradient_checkpointing = gradient_checkpointing
         self.seed = seed
         self.save_total_limit = save_total_limit
         self.attention_impl = attention_impl
@@ -256,6 +258,7 @@ class OpenProvenceTrainer:
             batch["attention_mask"],
             deterministic=deterministic,
             attention_impl=self.attention_impl,
+            remat=self.gradient_checkpointing and not deterministic,
             rngs=rngs,
         )
         return joint_loss(

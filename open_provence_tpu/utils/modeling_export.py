@@ -23,7 +23,9 @@ _BUNDLE_INCLUDE = [
     "configs.py",
     "data_structures.py",
     "encoder.py",
+    "modeling_open_provence_tpu.py",
     "models",
+    "native",
     "ops",
     "text",
     "inference",
