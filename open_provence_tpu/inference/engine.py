@@ -106,6 +106,10 @@ class OpenProvenceModel:
                 params,
             )
         self.params = jax.tree.map(jnp.asarray, dict(params))
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self.params = jax.device_put(self.params, NamedSharding(mesh, P()))
         self.tokenizer = (
             tokenizer
             if isinstance(tokenizer, TokenizerAdapter)
@@ -120,6 +124,9 @@ class OpenProvenceModel:
         # no title-prefix offset correction applies; the engine falls back to
         # token-prob transfer otherwise.
         self.device_pooling = bool(device_pooling)
+        self._data_axis = 1
+        if mesh is not None:
+            self._data_axis = int(mesh.devices.shape[0])
         self._jit_cache: dict[tuple[int, int], Callable] = {}
         self._jit_pool_cache: dict[tuple[int, int], Callable] = {}
 
@@ -161,6 +168,25 @@ class OpenProvenceModel:
 
     # --- device forward -------------------------------------------------------
 
+    def _bucket_rows(self, n: int, batch_size: int) -> int:
+        """Pad the row count to a power of two (capped at batch_size) and,
+        under a mesh, to a multiple of the data axis."""
+        rows = bucket_batch(n, batch_size)
+        if self._data_axis > 1:
+            d = self._data_axis
+            rows = ((rows + d - 1) // d) * d
+        return rows
+
+    def _shard_inputs(self, *arrays: jnp.ndarray):
+        """Commit inputs to the mesh data axis so the jitted forward runs
+        data-parallel (GSPMD infers the rest)."""
+        if self.mesh is None:
+            return tuple(jnp.asarray(a) for a in arrays)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sharding = NamedSharding(self.mesh, P("data", *([None] * 1)))
+        return tuple(jax.device_put(np.asarray(a), sharding) for a in arrays)
+
     def _forward_fn(self, batch: int, seq_len: int) -> Callable:
         key = (batch, seq_len)
         fn = self._jit_cache.get(key)
@@ -182,21 +208,7 @@ class OpenProvenceModel:
             keep = keep_probs_from_logits(out["pruning_logits"])  # [B, S] fp32
             return rank, keep
 
-        if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            data_sharding = NamedSharding(self.mesh, P("data", None))
-            replicated = NamedSharding(self.mesh, P())
-            fn = jax.jit(
-                _run,
-                in_shardings=(replicated, data_sharding, data_sharding),
-                out_shardings=(
-                    NamedSharding(self.mesh, P("data")),
-                    data_sharding,
-                ),
-            )
-        else:
-            fn = jax.jit(_run)
+        fn = jax.jit(_run)
         self._jit_cache[key] = fn
         return fn
 
@@ -205,7 +217,8 @@ class OpenProvenceModel:
     ) -> tuple[np.ndarray, np.ndarray]:
         batch, seq_len = input_ids.shape
         fn = self._forward_fn(batch, seq_len)
-        rank, keep = fn(self.params, jnp.asarray(input_ids), jnp.asarray(attention_mask))
+        ids, mask = self._shard_inputs(input_ids, attention_mask)
+        rank, keep = fn(self.params, ids, mask)
         return np.asarray(jax.device_get(rank)), np.asarray(jax.device_get(keep))
 
     def _pooled_forward_fn(self, batch: int, seq_len: int) -> Callable:
@@ -247,12 +260,8 @@ class OpenProvenceModel:
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         batch, seq_len = input_ids.shape
         fn = self._pooled_forward_fn(batch, seq_len)
-        rank, means, counts = fn(
-            self.params,
-            jnp.asarray(input_ids),
-            jnp.asarray(attention_mask),
-            jnp.asarray(segment_ids),
-        )
+        ids, mask, segs = self._shard_inputs(input_ids, attention_mask, segment_ids)
+        rank, means, counts = fn(self.params, ids, mask, segs)
         return (
             np.asarray(jax.device_get(rank)),
             np.asarray(jax.device_get(means)),
@@ -309,7 +318,7 @@ class OpenProvenceModel:
             ids_list = encoded["input_ids"]
             max_len = max((len(ids) for ids in ids_list), default=1)
             seq_len = bucket_length(max_len, buckets)
-            n_rows = bucket_batch(len(ids_list), max(len(ids_list), 1))
+            n_rows = self._bucket_rows(len(ids_list), max(len(ids_list), 1))
             prepared = [{"input_ids": ids, "attention_mask": [1] * len(ids)} for ids in ids_list]
             batch_arrays = pad_block_batch(prepared, seq_len, n_rows, pad_id)
             rank, keep = self._run_device_batch(
@@ -574,7 +583,7 @@ class OpenProvenceModel:
         for seq_len, entries in iterator:
             for start in range(0, len(entries), batch_size):
                 chunk = entries[start : start + batch_size]
-                n_rows = bucket_batch(len(chunk), batch_size)
+                n_rows = self._bucket_rows(len(chunk), batch_size)
                 batch_arrays = pad_block_batch(chunk, seq_len, n_rows, pad_id)
                 infer_start = perf_counter()
                 if use_device_pooling:
