@@ -28,7 +28,9 @@ __version__ = "0.1.0"
 
 
 def __getattr__(name):
-    # Lazy heavy imports so `import open_provence_tpu` stays light.
+    # Lazy heavy imports so `import open_provence_tpu` stays light; the
+    # exported names mirror the reference package __init__ (collator, loss,
+    # trainer, encoder, structures — reference __init__.py:24-34).
     if name == "OpenProvenceEncoder":
         from .encoder import OpenProvenceEncoder
 
@@ -37,6 +39,22 @@ def __getattr__(name):
         from .inference import OpenProvenceModel
 
         return OpenProvenceModel
+    if name == "OpenProvenceDataCollator":
+        from .train.collator import OpenProvenceDataCollator
+
+        return OpenProvenceDataCollator
+    if name == "OpenProvenceLoss":
+        from .train.losses import OpenProvenceLoss
+
+        return OpenProvenceLoss
+    if name == "OpenProvenceTrainer":
+        from .train.trainer import OpenProvenceTrainer
+
+        return OpenProvenceTrainer
+    if name == "runner":
+        from .train import runner
+
+        return runner
     raise AttributeError(name)
 
 __all__ = [

@@ -65,30 +65,27 @@ def pallas_shapes_supported(shape: tuple[int, ...], block_q: int = DEFAULT_BLOCK
 
 
 def _flash_kernel(
-    q_ref,  # [1, 1, block_q, D]
-    k_ref,  # [1, 1, S, D]
-    v_ref,  # [1, 1, S, D]
+    q_ref,  # [1, h_block, block_q, D]
+    k_ref,  # [1, h_block, S, D]
+    v_ref,  # [1, h_block, S, D]
     mask_ref,  # [1, 1, S] int32 (1 = valid)
-    o_ref,  # [1, 1, block_q, D]
+    o_ref,  # [1, h_block, block_q, D]
     *,
     seq_len: int,
     block_q: int,
     block_k: int,
+    h_block: int,
     window: int | None,
     scale: float,
     has_mask: bool,
 ):
+    # Several heads per program (statically unrolled): per-program launch
+    # overhead dominated the per-(b,h) grid — measured 4x fewer programs
+    # cuts attention-core time substantially on v5e.
     qi = pl.program_id(2)
-    # Keep q in its input dtype (bf16 on TPU): the MXU takes low-precision
-    # inputs with fp32 accumulation. When the softmax scale is a power of
-    # two (head_dim a power of four, e.g. 64 → 1/8) it folds losslessly
-    # into q; otherwise it is applied to the fp32 scores.
-    q = q_ref[0, 0]  # [bq, D]
     scale_is_pow2 = float(scale) != 0.0 and (abs(scale) == 2.0 ** round(
         math.log2(abs(scale))
     ))
-    if scale_is_pow2:
-        q = q * jnp.asarray(scale, dtype=q.dtype)
 
     num_k_blocks = seq_len // block_k
     if window is None:
@@ -105,48 +102,58 @@ def _flash_kernel(
         jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) + qi * block_q
     )
 
-    def body(kj, carry):
-        m_prev, l_prev, acc_prev = carry
-        k_off = kj * block_k
-        k = k_ref[0, 0, pl.ds(k_off, block_k), :]  # [bk, D] input dtype
-        v = v_ref[0, 0, pl.ds(k_off, block_k), :]
+    for h in range(h_block):
+        # Keep q in its input dtype (bf16 on TPU): the MXU takes
+        # low-precision inputs with fp32 accumulation. A power-of-two
+        # softmax scale folds losslessly into q.
+        q = q_ref[0, h]  # [bq, D]
+        if scale_is_pow2:
+            q = q * jnp.asarray(scale, dtype=q.dtype)
 
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [bq, bk] fp32
-        if not scale_is_pow2:
-            s = s * scale
+        def body(kj, carry, h=h, q=q):
+            m_prev, l_prev, acc_prev = carry
+            k_off = kj * block_k
+            k = k_ref[0, h, pl.ds(k_off, block_k), :]  # [bk, D] input dtype
+            v = v_ref[0, h, pl.ds(k_off, block_k), :]
 
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + k_off
-        if window is not None:
-            dist = jnp.abs(row_ids - col_ids)
-            s = jnp.where(dist <= window, s, _NEG_INF)
-        if has_mask:
-            kmask = mask_ref[0, 0, pl.ds(k_off, block_k)]  # [bk]
-            s = jnp.where((kmask > 0)[None, :], s, _NEG_INF)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )  # [bq, bk] fp32
+            if not scale_is_pow2:
+                s = s * scale
 
-        m_cur = jnp.max(s, axis=-1, keepdims=True)  # [bq, 1]
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)  # [bq, bk] fp32
-        alpha = jnp.exp(m_prev - m_new)  # [bq, 1]
-        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        # p cast to the value dtype (bf16) for the MXU; fp32 accumulation.
-        acc_new = acc_prev * alpha + jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            col_ids = (
+                jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + k_off
+            )
+            if window is not None:
+                dist = jnp.abs(row_ids - col_ids)
+                s = jnp.where(dist <= window, s, _NEG_INF)
+            if has_mask:
+                kmask = mask_ref[0, 0, pl.ds(k_off, block_k)]  # [bk]
+                s = jnp.where((kmask > 0)[None, :], s, _NEG_INF)
+
+            m_cur = jnp.max(s, axis=-1, keepdims=True)  # [bq, 1]
+            m_new = jnp.maximum(m_prev, m_cur)
+            p = jnp.exp(s - m_new)  # [bq, bk] fp32
+            alpha = jnp.exp(m_prev - m_new)  # [bq, 1]
+            l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            # p cast to the value dtype (bf16) for the MXU; fp32 accumulation.
+            acc_new = acc_prev * alpha + jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return m_new, l_new, acc_new
+
+        head_dim = q.shape[-1]
+        init = (
+            jnp.full((block_q, 1), _NEG_INF, dtype=jnp.float32),
+            jnp.zeros((block_q, 1), dtype=jnp.float32),
+            jnp.zeros((block_q, head_dim), dtype=jnp.float32),
         )
-        return m_new, l_new, acc_new
-
-    head_dim = q.shape[-1]
-    init = (
-        jnp.full((block_q, 1), _NEG_INF, dtype=jnp.float32),
-        jnp.zeros((block_q, 1), dtype=jnp.float32),
-        jnp.zeros((block_q, head_dim), dtype=jnp.float32),
-    )
-    m, l, acc = jax.lax.fori_loop(k_lo, k_hi, body, init)
-    # Guard against fully-masked rows (padding queries): avoid 0/0.
-    l = jnp.where(l == 0.0, 1.0, l)
-    o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
+        m, l, acc = jax.lax.fori_loop(k_lo, k_hi, body, init)
+        # Guard against fully-masked rows (padding queries): avoid 0/0.
+        l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, h] = (acc / l).astype(o_ref.dtype)
 
 
 def _flash_forward(
@@ -166,29 +173,47 @@ def _flash_forward(
     else:
         mask_arr = padding_mask.astype(jnp.int32).reshape(batch, 1, seq_len)
 
-    grid = (batch, num_heads, seq_len // block_q)
+    # Heads per program: enough to amortize launch overhead while keeping
+    # K/V blocks within a VMEM budget (~2 MB per operand).
+    vmem_budget = 2 * 1024 * 1024
+    per_head_bytes = seq_len * head_dim * jnp.dtype(q.dtype).itemsize
+    h_cap = max(1, vmem_budget // max(per_head_bytes, 1))
+    h_block = 1
+    for cand in (8, 6, 4, 3, 2, 1):
+        if cand <= h_cap and num_heads % cand == 0:
+            h_block = cand
+            break
+
+    grid = (batch, num_heads // h_block, seq_len // block_q)
     kernel = functools.partial(
         _flash_kernel,
         seq_len=seq_len,
         block_q=block_q,
         block_k=block_k,
+        h_block=h_block,
         window=window,
         scale=scale,
         has_mask=has_mask,
     )
     # Keep K/V in VMEM for typical shapes; extremely long sequences would need
     # a double-buffered HBM variant.
-    kv_spec = pl.BlockSpec((1, 1, seq_len, head_dim), lambda b, h, i: (b, h, 0, 0))
+    kv_spec = pl.BlockSpec(
+        (1, h_block, seq_len, head_dim), lambda b, h, i: (b, h, 0, 0)
+    )
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, block_q, head_dim), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec(
+                (1, h_block, block_q, head_dim), lambda b, h, i: (b, h, i, 0)
+            ),
             kv_spec,
             kv_spec,
             pl.BlockSpec((1, 1, seq_len), lambda b, h, i: (b, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, block_q, head_dim), lambda b, h, i: (b, h, i, 0)),
+        out_specs=pl.BlockSpec(
+            (1, h_block, block_q, head_dim), lambda b, h, i: (b, h, i, 0)
+        ),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),

@@ -88,3 +88,40 @@ def joint_loss(
     )
     total = ranking_weight * r_loss + pruning_weight * p_loss
     return total, {"ranking_loss": r_loss, "pruning_loss": p_loss}
+
+
+class OpenProvenceLoss:
+    """Stateful wrapper over joint_loss mirroring the reference class API
+    (losses.py:15-127): call with (outputs, batch), read
+    ``last_loss_components`` for logging. Note: unlike the reference, the
+    model forward runs outside (functional JAX style) — pass its output
+    dict here."""
+
+    def __init__(
+        self,
+        model=None,
+        ranking_loss_fn=None,
+        pruning_loss_fn=None,
+        ranking_weight: float = 0.05,
+        pruning_weight: float = 1.0,
+        is_regression: bool = True,
+        use_raw_logits: bool = True,
+    ):
+        del model, ranking_loss_fn, pruning_loss_fn  # functional equivalents built in
+        self.ranking_weight = ranking_weight
+        self.pruning_weight = pruning_weight
+        self.is_regression = is_regression
+        self.use_raw_logits = use_raw_logits
+        self.last_loss_components: dict[str, float] = {}
+
+    def __call__(self, outputs, batch):
+        total, components = joint_loss(
+            outputs,
+            batch,
+            ranking_weight=self.ranking_weight,
+            pruning_weight=self.pruning_weight,
+            is_regression=self.is_regression,
+            use_raw_logits=self.use_raw_logits,
+        )
+        self.last_loss_components = components
+        return total

@@ -1,0 +1,171 @@
+#!/usr/bin/env python3
+"""Extended benchmark suite (bench.py stays single-metric for the driver).
+
+Measures on the current JAX device:
+* two-head forward throughput (pairs/s) at several (batch, seq) shapes,
+* end-to-end process() throughput on synthetic long documents (includes the
+  host text pipeline, bucketing, and device pooling).
+
+Timing uses per-iteration output fetches — block_until_ready is not a
+reliable sync point over the axon TPU tunnel.
+
+Usage: python scripts/bench_suite.py [--out bench_suite.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+
+def bench_forward(module, params, batch, seq, iters=8):
+    import jax
+    import jax.numpy as jnp
+
+    fn = jax.jit(
+        lambda p, i, m: module.apply(
+            {"params": p}, i, m, deterministic=True, attention_impl="auto"
+        )["ranking_logits"]
+    )
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 50000, size=(batch, seq)).astype(np.int32)
+    mask = jnp.ones((batch, seq), dtype=jnp.int32)
+    inputs = [jnp.asarray(np.roll(base, i, axis=1)) for i in range(iters)]
+    jax.device_get([x[0, 0] for x in inputs])
+    r = fn(params, inputs[0], mask)
+    jax.device_get(r[0, 0])
+    start = time.perf_counter()
+    outs = [fn(params, x, mask) for x in inputs]
+    jax.device_get([o[0, 0] for o in outs])
+    elapsed = (time.perf_counter() - start) / iters
+    return {
+        "batch": batch,
+        "seq": seq,
+        "ms_per_batch": round(elapsed * 1000, 2),
+        "pairs_per_sec": round(batch / elapsed, 1),
+        "tokens_per_sec": round(batch * seq / elapsed, 0),
+    }
+
+
+def bench_process(model, n_pairs=32, sentences_per_doc=24, iters=3):
+    rng = np.random.default_rng(0)
+    words = "sushi ramen kyoto market travel budget deadline plants river temple".split()
+    questions = [f"what about {rng.choice(words)} ?" for _ in range(n_pairs)]
+    contexts = [
+        " ".join(
+            f"sentence {i} about {rng.choice(words)} and {rng.choice(words)} ."
+            for i in range(sentences_per_doc)
+        )
+        for _ in range(n_pairs)
+    ]
+    # Warmup (compiles the buckets).
+    model.process(questions, contexts, threshold=0.1, show_progress=False)
+    start = time.perf_counter()
+    for _ in range(iters):
+        result = model.process(questions, contexts, threshold=0.1, show_progress=False)
+    elapsed = (time.perf_counter() - start) / iters
+    trace = result["performance_trace"]
+    return {
+        "n_pairs": n_pairs,
+        "sentences_per_doc": sentences_per_doc,
+        "seconds_per_call": round(elapsed, 3),
+        "pairs_per_sec": round(n_pairs / elapsed, 1),
+        "inference_seconds": round(trace.inference_seconds, 3),
+        "preprocess_seconds": round(trace.preprocess_seconds, 3),
+        "postprocess_seconds": round(trace.postprocess_seconds, 3),
+    }
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--out", type=Path, default=None)
+    parser.add_argument("--skip-process", action="store_true")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    import open_provence_tpu as op
+    from open_provence_tpu.models.model import build_module
+
+    backbone = op.ModernBertBackboneConfig(num_labels=1)  # base scale
+    config = op.OpenProvenceConfig(
+        base_model_config=backbone.to_dict(),
+        num_labels=1,
+        pruning_config={"hidden_size": 768, "classifier_dropout": 0.0},
+        max_length=512,
+    )
+    module = build_module(config)
+    params = module.init(
+        jax.random.PRNGKey(0),
+        np.zeros((1, 8), dtype=np.int32),
+        np.ones((1, 8), dtype=np.int32),
+        attention_impl="xla",
+    )["params"]
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if jnp.issubdtype(x.dtype, jnp.floating)
+        else x,
+        params,
+    )
+
+    platform = jax.devices()[0].platform
+    results: dict = {"platform": platform, "model": "modernbert-base-149M", "forward": []}
+
+    shapes = [(32, 512), (8, 2048), (2, 8192)] if platform == "tpu" else [(4, 128)]
+    for batch, seq in shapes:
+        entry = bench_forward(module, params, batch, seq)
+        results["forward"].append(entry)
+        print(json.dumps(entry), flush=True)
+
+    if not args.skip_process:
+        sys.path.insert(0, str(REPO_ROOT / "scripts"))
+        from make_toy_assets import build_tokenizer
+        import tempfile
+
+        from open_provence_tpu.inference import OpenProvenceModel
+
+        with tempfile.TemporaryDirectory() as tmp:
+            tokenizer, vocab_size = build_tokenizer(Path(tmp))
+            small_backbone = op.ModernBertBackboneConfig(
+                vocab_size=vocab_size + 64, num_labels=1
+            )
+            small_config = op.OpenProvenceConfig(
+                base_model_config=small_backbone.to_dict(),
+                num_labels=1,
+                pruning_config={"hidden_size": 768, "classifier_dropout": 0.0},
+                max_length=512,
+            )
+            small_module = build_module(small_config)
+            small_params = small_module.init(
+                jax.random.PRNGKey(0),
+                np.zeros((1, 8), dtype=np.int32),
+                np.ones((1, 8), dtype=np.int32),
+                attention_impl="xla",
+            )["params"]
+            model = OpenProvenceModel(
+                small_config,
+                small_params,
+                tokenizer,
+                dtype=jnp.bfloat16 if platform == "tpu" else None,
+            )
+            entry = bench_process(model)
+            results["process"] = entry
+            print(json.dumps(entry), flush=True)
+
+    if args.out:
+        args.out.write_text(json.dumps(results, indent=2))
+        print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -202,6 +202,66 @@ def test_process_parity_batched_nested_with_titles(both_models):
             )
 
 
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        {"strip_sentences": True},
+        {"respect_sentence_boundaries": True},
+        {"use_best_reranker_score": False},
+        {"zero_score_when_empty": False},
+    ],
+    ids=["strip", "respect_boundaries", "first_block_score", "keep_empty_score"],
+)
+def test_process_parity_flag_variants(both_models, kwargs):
+    ref_model, my_model = both_models
+    long_context = " ".join(
+        f"sentence number {i} about {w} ." for i, w in enumerate(
+            ["sushi", "ramen", "kyoto", "budget", "plants", "train"] * 6
+        )
+    )
+    ref_out, my_out = _run_both(
+        ref_model, my_model, QUERY, long_context, threshold=0.5, **kwargs
+    )
+    ref_probs = np.asarray(ref_out["sentence_probabilities"], dtype=np.float64)
+    my_probs = np.asarray(my_out["sentence_probabilities"], dtype=np.float64)
+    assert ref_probs.shape == my_probs.shape
+    np.testing.assert_allclose(my_probs, ref_probs, atol=2e-3)
+    if ref_out["reranking_score"] is None:
+        assert my_out["reranking_score"] is None
+    else:
+        np.testing.assert_allclose(
+            my_out["reranking_score"], ref_out["reranking_score"], atol=2e-3
+        )
+    # Sentence segmentation and keep/remove structure must agree exactly.
+    assert [len(x) for x in (my_out["kept_sentences"], my_out["removed_sentences"])] == [
+        len(x) for x in (ref_out["kept_sentences"], ref_out["removed_sentences"])
+    ]
+
+
+def test_process_parity_reorder_top_k(both_models):
+    ref_model, my_model = both_models
+    contexts = [
+        "sushi kyoto market dish .",
+        "budget deadline spreadsheet boring .",
+        "plants water electricity bill .",
+    ]
+    common = dict(
+        sentence_splitter=_simple_en_splitter,
+        show_progress=False,
+        threshold=0.5,
+        reorder=True,
+        top_k=2,
+        batch_size=4,
+    )
+    ref_out = ref_model.process(QUERY, contexts, title=None, **common)
+    my_out = my_model.process(QUERY, contexts, title=None, **common)
+    assert len(my_out["pruned_context"]) == len(ref_out["pruned_context"]) == 2
+    np.testing.assert_allclose(
+        my_out["reranking_score"], ref_out["reranking_score"], atol=2e-3
+    )
+    assert my_out["pruned_context"] == ref_out["pruned_context"]
+
+
 def test_process_parity_raw_predictions(both_models):
     ref_model, my_model = both_models
     contexts = ["sushi market kyoto . ", "budget deadline spreadsheet ."]
