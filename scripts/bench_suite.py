@@ -85,10 +85,57 @@ def bench_process(model, n_pairs=32, sentences_per_doc=24, iters=3):
     }
 
 
+def bench_train_step(config, params, pairs=256, seq=512, iters=4):
+    """Full train step (fwd+bwd+adafactor) timing — anchor for wall-clock
+    comparisons against the reference's single-GPU hours (BASELINE.md)."""
+    import jax
+
+    from open_provence_tpu.train.trainer import OpenProvenceTrainer
+    from open_provence_tpu.parallel.mesh import create_mesh
+
+    trainer = OpenProvenceTrainer(
+        config,
+        params,
+        tokenizer=None,
+        output_dir="/tmp/op_tpu_bench_train",
+        learning_rate=5e-5,
+        total_steps=1000,
+        bf16=True,
+        mesh=create_mesh(),
+        attention_impl="auto",
+    )
+    rng = np.random.default_rng(0)
+    labels = rng.integers(0, 2, size=(pairs, seq))
+    labels[:, :8] = -100
+    batch = {
+        "input_ids": rng.integers(0, 50000, size=(pairs, seq)).astype(np.int32),
+        "attention_mask": np.ones((pairs, seq), dtype=np.int32),
+        "pruning_labels": labels.astype(np.int64),
+        "ranking_targets": rng.uniform(size=(pairs,)).astype(np.float32),
+        "pair_mask": np.ones((pairs,), dtype=np.float32),
+        "batch_indices": np.arange(pairs, dtype=np.int32),
+        "doc_indices": np.zeros((pairs,), dtype=np.int32),
+    }
+    trainer.train_one_step(batch)  # compile
+    start = time.perf_counter()
+    for _ in range(iters):
+        metrics = trainer.train_one_step(batch)  # train_one_step fetches metrics
+    elapsed = (time.perf_counter() - start) / iters
+    return {
+        "pairs": pairs,
+        "seq": seq,
+        "ms_per_step": round(elapsed * 1000, 2),
+        "pairs_per_sec": round(pairs / elapsed, 1),
+        "loss": round(metrics["loss"], 4),
+    }
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--out", type=Path, default=None)
     parser.add_argument("--skip-process", action="store_true")
+    parser.add_argument("--train-step", action="store_true",
+                        help="Also time the full train step (fwd+bwd+optimizer).")
     args = parser.parse_args()
 
     import jax
@@ -105,7 +152,7 @@ def main() -> None:
         max_length=512,
     )
     module = build_module(config)
-    params = module.init(
+    params_fp32 = module.init(
         jax.random.PRNGKey(0),
         np.zeros((1, 8), dtype=np.int32),
         np.ones((1, 8), dtype=np.int32),
@@ -115,7 +162,7 @@ def main() -> None:
         lambda x: x.astype(jnp.bfloat16)
         if jnp.issubdtype(x.dtype, jnp.floating)
         else x,
-        params,
+        params_fp32,
     )
 
     platform = jax.devices()[0].platform
@@ -125,6 +172,11 @@ def main() -> None:
     for batch, seq in shapes:
         entry = bench_forward(module, params, batch, seq)
         results["forward"].append(entry)
+        print(json.dumps(entry), flush=True)
+
+    if args.train_step:
+        entry = bench_train_step(config, params_fp32)
+        results["train_step"] = entry
         print(json.dumps(entry), flush=True)
 
     if not args.skip_process:
