@@ -93,6 +93,7 @@ class OpenProvenceModel:
         attention_impl: str = "auto",
         bucket_step: int = 64,
         mesh: Any = None,
+        tensor_parallel: bool = False,
         device_pooling: bool = True,
     ):
         self.config = config
@@ -107,9 +108,14 @@ class OpenProvenceModel:
             )
         self.params = jax.tree.map(jnp.asarray, dict(params))
         if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            if tensor_parallel:
+                from ..parallel.mesh import shard_params
 
-            self.params = jax.device_put(self.params, NamedSharding(mesh, P()))
+                self.params = shard_params(self.params, mesh, tensor_parallel=True)
+            else:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                self.params = jax.device_put(self.params, NamedSharding(mesh, P()))
         self.tokenizer = (
             tokenizer
             if isinstance(tokenizer, TokenizerAdapter)
