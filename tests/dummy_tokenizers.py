@@ -109,6 +109,39 @@ class ModernBertLikeTokenizer(DummyTokenizer):
     drops_specials = True
 
 
+class WhitespaceTokenizer(DummyTokenizer):
+    """decode() returns blanks — exercises the empty-fragment fallback paths
+    (reference tests/test_modeling_open_provence.py WhitespaceTokenizer)."""
+
+    def decode(self, token_ids, **kwargs):
+        return " " * sum(
+            1
+            for t in token_ids
+            if int(t) not in (self.cls_token_id, self.sep_token_id, self.pad_token_id)
+        )
+
+
+class DoubleSepTokenizer(DummyTokenizer):
+    """XLM-R-style boundary: <s> a </s></s> b </s> (reference
+    DoubleSepTokenizer)."""
+
+    def build_inputs_with_special_tokens(self, ids0, ids1=None):
+        if ids1 is None:
+            return [self.cls_token_id] + list(ids0) + [self.sep_token_id]
+        return (
+            [self.cls_token_id]
+            + list(ids0)
+            + [self.sep_token_id, self.sep_token_id]
+            + list(ids1)
+            + [self.sep_token_id]
+        )
+
+    def create_token_type_ids_from_sequences(self, ids0, ids1=None):
+        if ids1 is None:
+            return [0] * (len(ids0) + 2)
+        return [0] * (len(ids0) + 3) + [1] * (len(ids1) + 1)
+
+
 class PairDummyTokenizer(DummyTokenizer):
     """Adds (query, document) pair encoding with padding/truncation/offset
     mappings — enough surface for the training collator."""
