@@ -81,10 +81,13 @@ def xla_attention(
 
 
 # Measured on v5e (ModernBERT-base, bf16) with adaptive block sizes: the
-# flash kernel beats XLA's attention at every length (327 vs 287 pairs/s at
-# S=512; 75x at S=8192 where XLA materializes O(S²) fp32 scores). Keep an
-# escape hatch to force a minimum length for the pallas path.
+# flash kernel beats XLA's attention at every length overall (328 vs 287
+# pairs/s at S=512; 97x at S=8192 where XLA materializes O(S²) fp32
+# scores). In isolation XLA's fused global attention is slightly faster at
+# short S, but in-model all-pallas measured faster (98 vs 105 ms/batch), so
+# GLOBAL_XLA_MAX_SEQ defaults to 0 (env-overridable escape hatch).
 PALLAS_MIN_SEQ = int(os.environ.get("OPEN_PROVENCE_TPU_PALLAS_MIN_SEQ", "128"))
+GLOBAL_XLA_MAX_SEQ = int(os.environ.get("OPEN_PROVENCE_TPU_GLOBAL_XLA_MAX_SEQ", "0"))
 
 
 def multi_head_attention(
@@ -104,6 +107,8 @@ def multi_head_attention(
             from .flash_attention import pallas_shapes_supported
 
             use_pallas = pallas_shapes_supported(q.shape)
+            if window is None and seq_len <= GLOBAL_XLA_MAX_SEQ:
+                use_pallas = False
         impl = "pallas" if use_pallas else "xla"
 
     if impl == "pallas":
