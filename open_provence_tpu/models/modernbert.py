@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from ..configs import ModernBertBackboneConfig
 from ..ops.attention import multi_head_attention
-from ..ops.rotary import apply_rotary, rope_tables
+from ..ops.rotary import rope_tables
 
 _ACTIVATIONS = {
     "gelu": lambda x: jax.nn.gelu(x, approximate=False),
@@ -97,11 +97,19 @@ class ModernBertAttention(nn.Module):
 
         theta = cfg.layer_rope_theta(self.layer_id)
         cos, sin = rope_tables(seq_len, head_dim, theta, dtype=jnp.float32)
-        q, k = apply_rotary(q, k, cos, sin)
 
         window = cfg.layer_window(self.layer_id)
+        # Rotary is delegated to the attention op: the pallas path fuses it
+        # into the kernel (saves the rotate-half fusion + two rotated-array
+        # materializations per layer); the xla path applies it there.
         out = multi_head_attention(
-            q, k, v, padding_mask=padding_mask, window=window, impl=attention_impl
+            q,
+            k,
+            v,
+            padding_mask=padding_mask,
+            window=window,
+            rope=(cos, sin),
+            impl=attention_impl,
         )
         out = jnp.moveaxis(out, 1, 2).reshape(batch, seq_len, cfg.hidden_size)
         out = nn.Dense(cfg.hidden_size, use_bias=cfg.attention_bias, name="Wo")(out)

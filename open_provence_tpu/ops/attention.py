@@ -97,9 +97,13 @@ def multi_head_attention(
     *,
     padding_mask: jnp.ndarray | None,
     window: int | None,
+    rope: tuple[jnp.ndarray, jnp.ndarray] | None = None,
     impl: str = "auto",
 ) -> jnp.ndarray:
-    """Dispatch attention over implementations. q/k/v: [B, H, S, D]."""
+    """Dispatch attention over implementations. q/k/v: [B, H, S, D].
+
+    With ``rope=(cos, sin)``, q/k arrive unrotated: the pallas path fuses
+    rotary into the kernel; the xla path applies it here."""
     seq_len = q.shape[2]
     if impl == "auto":
         use_pallas = False
@@ -114,8 +118,14 @@ def multi_head_attention(
     if impl == "pallas":
         from .flash_attention import flash_attention
 
-        return flash_attention(q, k, v, padding_mask=padding_mask, window=window)
+        return flash_attention(
+            q, k, v, padding_mask=padding_mask, window=window, rope=rope
+        )
     if impl == "xla":
+        if rope is not None:
+            from .rotary import apply_rotary
+
+            q, k = apply_rotary(q, k, rope[0], rope[1])
         bias = attention_bias(padding_mask, seq_len, window, dtype=jnp.float32)
         return xla_attention(q, k, v, bias)
     raise ValueError(f"Unknown attention impl: {impl!r}")

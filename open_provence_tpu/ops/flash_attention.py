@@ -64,11 +64,23 @@ def pallas_shapes_supported(shape: tuple[int, ...], block_q: int = DEFAULT_BLOCK
     )
 
 
+def _rotate_half_block(x, sign):
+    """rotate_half via lane roll: concat(-x2, x1) == roll(x, D/2) * sign.
+
+    Mosaic only implements lane rotation for 32-bit data, so bf16 inputs
+    round-trip through fp32 (lossless for bf16 values)."""
+    rolled = pltpu.roll(
+        x.astype(jnp.float32), shift=x.shape[-1] // 2, axis=x.ndim - 1
+    )
+    return rolled.astype(x.dtype) * sign
+
+
 def _flash_kernel(
     q_ref,  # [1, h_block, block_q, D]
     k_ref,  # [1, h_block, S, D]
     v_ref,  # [1, h_block, S, D]
     mask_ref,  # [1, 1, S] int32 (1 = valid)
+    rope_ref,  # [2, S, D] cos/sin in the activation dtype (rotary fused in)
     o_ref,  # [1, h_block, block_q, D]
     *,
     seq_len: int,
@@ -78,6 +90,7 @@ def _flash_kernel(
     window: int | None,
     scale: float,
     has_mask: bool,
+    has_rope: bool,
 ):
     # Several heads per program (statically unrolled): per-program launch
     # overhead dominated the per-(b,h) grid — measured 4x fewer programs
@@ -103,12 +116,24 @@ def _flash_kernel(
     )
 
     head_dim = q_ref.shape[-1]
+    if has_rope:
+        half_sign = jnp.concatenate(
+            [
+                jnp.full((1, head_dim // 2), -1.0, dtype=q_ref.dtype),
+                jnp.ones((1, head_dim // 2), dtype=q_ref.dtype),
+            ],
+            axis=-1,
+        )
+        rope_cos_q = rope_ref[0, pl.ds(qi * block_q, block_q), :]
+        rope_sin_q = rope_ref[1, pl.ds(qi * block_q, block_q), :]
 
     def head_body(h, _):
         # Keep q in its input dtype (bf16 on TPU): the MXU takes
         # low-precision inputs with fp32 accumulation. A power-of-two
         # softmax scale folds losslessly into q.
         q = q_ref[0, h]  # [bq, D]
+        if has_rope:
+            q = q * rope_cos_q + _rotate_half_block(q, half_sign) * rope_sin_q
         if scale_is_pow2:
             q = q * jnp.asarray(scale, dtype=q.dtype)
 
@@ -117,6 +142,10 @@ def _flash_kernel(
             k_off = kj * block_k
             k = k_ref[0, h, pl.ds(k_off, block_k), :]  # [bk, D] input dtype
             v = v_ref[0, h, pl.ds(k_off, block_k), :]
+            if has_rope:
+                cos_k = rope_ref[0, pl.ds(k_off, block_k), :]
+                sin_k = rope_ref[1, pl.ds(k_off, block_k), :]
+                k = k * cos_k + _rotate_half_block(k, half_sign) * sin_k
 
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -167,6 +196,7 @@ def _flash_forward(
     k: jnp.ndarray,
     v: jnp.ndarray,
     padding_mask: jnp.ndarray | None,
+    rope: jnp.ndarray | None,
     window: int | None,
     block_q: int,
     block_k: int,
@@ -178,6 +208,11 @@ def _flash_forward(
         mask_arr = jnp.ones((batch, 1, seq_len), dtype=jnp.int32)
     else:
         mask_arr = padding_mask.astype(jnp.int32).reshape(batch, 1, seq_len)
+    has_rope = rope is not None
+    if rope is None:
+        rope = jnp.zeros((2, seq_len, head_dim), dtype=q.dtype)
+    else:
+        rope = rope.astype(q.dtype)
 
     # Heads per program: enough to amortize launch overhead while fitting
     # VMEM (~16 MB) with Pallas' double buffering. Estimated footprint per
@@ -206,6 +241,7 @@ def _flash_forward(
         window=window,
         scale=scale,
         has_mask=has_mask,
+        has_rope=has_rope,
     )
     # Keep K/V in VMEM for typical shapes; extremely long sequences would need
     # a double-buffered HBM variant.
@@ -222,6 +258,7 @@ def _flash_forward(
             kv_spec,
             kv_spec,
             pl.BlockSpec((1, 1, seq_len), lambda b, h, i: (b, 0, 0)),
+            pl.BlockSpec((2, seq_len, head_dim), lambda b, h, i: (0, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
             (1, h_block, block_q, head_dim), lambda b, h, i: (b, h, i, 0)
@@ -235,33 +272,39 @@ def _flash_forward(
             bytes_accessed=q.size * q.dtype.itemsize * 4,
             transcendentals=batch * num_heads * seq_len * seq_len,
         ),
-    )(q, k, v, mask_arr)
+    )(q, k, v, mask_arr, rope)
     return out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _flash_attention_core(q, k, v, mask_arr, window, block_q, block_k):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _flash_attention_core(q, k, v, mask_arr, rope, window, block_q, block_k):
     padding_mask = mask_arr if mask_arr is not None else None
-    return _flash_forward(q, k, v, padding_mask, window, block_q, block_k)
+    return _flash_forward(q, k, v, padding_mask, rope, window, block_q, block_k)
 
 
-def _xla_reference(q, k, v, mask_arr, window):
+def _xla_reference(q, k, v, mask_arr, rope, window):
     from .attention import attention_bias, xla_attention
+    from .rotary import apply_rotary
 
+    if rope is not None:
+        q, k = apply_rotary(q, k, rope[0], rope[1])
     bias = attention_bias(mask_arr, q.shape[2], window, dtype=jnp.float32)
     return xla_attention(q, k, v, bias)
 
 
-def _flash_fwd(q, k, v, mask_arr, window, block_q, block_k):
-    out = _flash_attention_core(q, k, v, mask_arr, window, block_q, block_k)
-    return out, (q, k, v, mask_arr)
+def _flash_fwd(q, k, v, mask_arr, rope, window, block_q, block_k):
+    out = _flash_attention_core(q, k, v, mask_arr, rope, window, block_q, block_k)
+    return out, (q, k, v, mask_arr, rope)
 
 
 def _flash_bwd(window, block_q, block_k, residuals, g):
-    q, k, v, mask_arr = residuals
-    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_reference(q_, k_, v_, mask_arr, window), q, k, v)
+    q, k, v, mask_arr, rope = residuals
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: _xla_reference(q_, k_, v_, mask_arr, rope, window), q, k, v
+    )
     dq, dk, dv = vjp(g)
-    return dq, dk, dv, None
+    d_rope = None if rope is None else jnp.zeros_like(rope)
+    return dq, dk, dv, None, d_rope
 
 
 _flash_attention_core.defvjp(_flash_fwd, _flash_bwd)
@@ -274,11 +317,15 @@ def flash_attention(
     *,
     padding_mask: jnp.ndarray | None,
     window: int | None,
+    rope: tuple[jnp.ndarray, jnp.ndarray] | None = None,
     block_q: int | None = None,
     block_k: int | None = None,
 ) -> jnp.ndarray:
     """Flash attention on [B, H, S, D]. S must be a multiple of block_q.
 
+    ``rope=(cos, sin)`` ([S, D] each) fuses rotary application into the
+    kernel — q/k arrive UNROTATED, saving the separate rotate-half fusion
+    and two rotated-array materializations per layer.
     Block sizes default to ``pick_block_sizes`` (seq/window-adaptive)."""
     if block_q is None and block_k is None:
         block_q, block_k = pick_block_sizes(q.shape[2], window)
@@ -296,4 +343,8 @@ def flash_attention(
             f"{{32,64,128,256}}; got shape {q.shape}"
         )
     mask_arr = None if padding_mask is None else padding_mask.astype(jnp.int32)
-    return _flash_attention_core(q, k, v, mask_arr, window, block_q, block_k)
+    rope_arr = None
+    if rope is not None:
+        cos, sin = rope
+        rope_arr = jnp.stack([cos.astype(q.dtype), sin.astype(q.dtype)], axis=0)
+    return _flash_attention_core(q, k, v, mask_arr, rope_arr, window, block_q, block_k)

@@ -101,6 +101,7 @@ def bench_train_step(config, params, pairs=256, seq=512, iters=4):
         learning_rate=5e-5,
         total_steps=1000,
         bf16=True,
+        gradient_checkpointing=True,
         mesh=create_mesh(),
         attention_impl="auto",
     )

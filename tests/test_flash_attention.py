@@ -86,6 +86,50 @@ def test_flash_gradient_via_custom_vjp():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.parametrize("window", [None, 32])
+def test_flash_fused_rope_matches_external(window):
+    """In-kernel rotary must equal apply_rotary + attention."""
+    from open_provence_tpu.ops.rotary import apply_rotary, rope_tables
+
+    q, k, v = _rand_qkv(seq=128)
+    cos, sin = rope_tables(128, 64, 10000.0)
+    with pltpu.force_tpu_interpret_mode():
+        fused = flash_attention(
+            q, k, v, padding_mask=None, window=window, rope=(cos, sin)
+        )
+    q_rot, k_rot = apply_rotary(q, k, cos, sin)
+    bias = attention_bias(None, 128, window, dtype=jnp.float32)
+    expected = xla_attention(q_rot, k_rot, v, bias)
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(expected), atol=2e-5, rtol=2e-5
+    )
+
+
+def test_flash_fused_rope_gradient():
+    from open_provence_tpu.ops.rotary import apply_rotary, rope_tables
+
+    q, k, v = _rand_qkv(seq=128)
+    cos, sin = rope_tables(128, 64, 160000.0)
+
+    def loss_flash(q, k, v):
+        with pltpu.force_tpu_interpret_mode():
+            out = flash_attention(
+                q, k, v, padding_mask=None, window=16, rope=(cos, sin)
+            )
+        return (out.astype(jnp.float32) ** 2).sum()
+
+    def loss_ref(q, k, v):
+        q_rot, k_rot = apply_rotary(q, k, cos, sin)
+        bias = attention_bias(None, 128, 16, dtype=jnp.float32)
+        out = xla_attention(q_rot, k_rot, v, bias)
+        return (out.astype(jnp.float32) ** 2).sum()
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
+
+
 def test_flash_rejects_unaligned():
     q, k, v = _rand_qkv(seq=200)
     with pytest.raises(ValueError):
