@@ -201,10 +201,12 @@ class ModernBertEncoder(nn.Module):
         layer_cls = ModernBertEncoderLayer
         if remat:
             # static_argnums index includes self at 0: (3, 4) = the
-            # deterministic / attention_impl flags.
-            layer_cls = nn.remat(
-                ModernBertEncoderLayer, static_argnums=(3, 4), prevent_cse=False
-            )
+            # deterministic / attention_impl flags. prevent_cse must stay True
+            # (the default): without the optimization barrier XLA CSEs the
+            # backward recompute into the forward pass, pinning every layer's
+            # attention residuals (incl. the 128-lane-padded LSE) in HBM at
+            # once — observed as a 55 GB OOM at batch 256.
+            layer_cls = nn.remat(ModernBertEncoderLayer, static_argnums=(3, 4))
         for layer_id in range(cfg.num_hidden_layers):
             x = layer_cls(cfg, layer_id, name=f"layers_{layer_id}")(
                 x, padding_mask, deterministic, attention_impl

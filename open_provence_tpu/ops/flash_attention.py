@@ -12,15 +12,18 @@ streams key blocks for its query block with an online-softmax accumulator in
 VMEM scratch. Scores are accumulated in fp32 (parity with the reference's
 fp32 softmax), output is cast back to the input dtype.
 
-The kernel is forward-only and wrapped in ``jax.custom_vjp``: the backward
-pass recomputes attention with the XLA path, so the op is safe to use under
-``jax.grad`` while training still defaults to the XLA implementation.
+Training: the op carries a ``jax.custom_vjp`` whose backward runs two
+Pallas kernels (dq; dk/dv) using the standard flash-attention-2 recipe —
+the forward additionally emits per-row log-sum-exp, the backward recomputes
+P = exp(S − LSE) blockwise and never materializes S² probabilities. Set
+OPEN_PROVENCE_TPU_FLASH_BWD=xla to fall back to an XLA recompute backward.
 """
 
 from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -82,7 +85,7 @@ def _flash_kernel(
     mask_ref,  # [1, 1, S] int32 (1 = valid)
     rope_ref,  # [2, S, D] cos/sin in the activation dtype (rotary fused in)
     o_ref,  # [1, h_block, block_q, D]
-    *,
+    *maybe_lse,  # optional lse_ref [1, h_block, block_q, 1] fp32 (training)
     seq_len: int,
     block_q: int,
     block_k: int,
@@ -92,6 +95,7 @@ def _flash_kernel(
     has_mask: bool,
     has_rope: bool,
 ):
+    lse_ref = maybe_lse[0] if maybe_lse else None
     # Several heads per program (statically unrolled): per-program launch
     # overhead dominated the per-(b,h) grid — measured 4x fewer programs
     # cuts attention-core time substantially on v5e.
@@ -181,6 +185,11 @@ def _flash_kernel(
             jnp.zeros((block_q, head_dim), dtype=jnp.float32),
         )
         m, l, acc = jax.lax.fori_loop(k_lo, k_hi, body, init)
+        if lse_ref is not None:
+            # Fully-masked rows get a +huge sentinel so the backward's
+            # exp(s − lse) underflows to exactly 0 for them.
+            lse = jnp.where(l == 0.0, -_NEG_INF, m + jnp.log(l))
+            lse_ref[0, h] = lse  # [block_q, 1]
         # Guard against fully-masked rows (padding queries): avoid 0/0.
         l = jnp.where(l == 0.0, 1.0, l)
         o_ref[0, h] = (acc / l).astype(o_ref.dtype)
@@ -189,6 +198,29 @@ def _flash_kernel(
     # fori_loop (not a static unroll) so only one head's fp32 working set is
     # live on the VMEM stack at a time.
     jax.lax.fori_loop(0, h_block, head_body, 0)
+
+
+def _choose_h_block(
+    num_heads: int,
+    seq_len: int,
+    head_dim: int,
+    block_q: int,
+    itemsize: int,
+    row_tile_rows: int = 0,
+) -> int:
+    """Heads per program under the scoped-VMEM budget (see _flash_forward).
+
+    ``row_tile_rows`` counts fp32 rows of [rows, 1] LSE/delta tiles held per
+    head; Mosaic pads their lane dim to 128, so each row costs 128·4 bytes
+    (doubled for Pallas' double buffering)."""
+    per_head_bytes = 4 * (2 * seq_len * head_dim * itemsize + 2 * block_q * head_dim * 4)
+    per_head_bytes += 2 * row_tile_rows * 128 * 4
+    vmem_budget = 10 * 1024 * 1024
+    h_cap = max(1, vmem_budget // max(per_head_bytes, 1))
+    for cand in (8, 6, 4, 3, 2, 1):
+        if cand <= h_cap and num_heads % cand == 0:
+            return cand
+    return 1
 
 
 def _flash_forward(
@@ -200,7 +232,8 @@ def _flash_forward(
     window: int | None,
     block_q: int,
     block_k: int,
-) -> jnp.ndarray:
+    emit_lse: bool = False,
+):
     batch, num_heads, seq_len, head_dim = q.shape
     scale = head_dim**-0.5
     has_mask = padding_mask is not None
@@ -215,21 +248,17 @@ def _flash_forward(
         rope = rope.astype(q.dtype)
 
     # Heads per program: enough to amortize launch overhead while fitting
-    # VMEM (~16 MB) with Pallas' double buffering. Estimated footprint per
-    # head: 2 buffers × (K + V blocks + Q + O blocks) + fp32 accumulators.
-    # Coefficient calibrated against Mosaic's scoped-vmem accounting
-    # (measured ~2.8 MB/head at S=2048, bq=512, bf16).
-    itemsize = jnp.dtype(q.dtype).itemsize
-    per_head_bytes = 4 * (
-        2 * seq_len * head_dim * itemsize + 2 * block_q * head_dim * 4
+    # scoped VMEM (~16 MB) with Pallas' double buffering. Coefficient
+    # calibrated against Mosaic's accounting (measured ~2.8 MB/head at
+    # S=2048, bq=512, bf16).
+    h_block = _choose_h_block(
+        num_heads,
+        seq_len,
+        head_dim,
+        block_q,
+        jnp.dtype(q.dtype).itemsize,
+        row_tile_rows=block_q if emit_lse else 0,
     )
-    vmem_budget = 10 * 1024 * 1024
-    h_cap = max(1, vmem_budget // max(per_head_bytes, 1))
-    h_block = 1
-    for cand in (8, 6, 4, 3, 2, 1):
-        if cand <= h_cap and num_heads % cand == 0:
-            h_block = cand
-            break
 
     grid = (batch, num_heads // h_block, seq_len // block_q)
     kernel = functools.partial(
@@ -260,10 +289,32 @@ def _flash_forward(
             pl.BlockSpec((1, 1, seq_len), lambda b, h, i: (b, 0, 0)),
             pl.BlockSpec((2, seq_len, head_dim), lambda b, h, i: (0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec(
-            (1, h_block, block_q, head_dim), lambda b, h, i: (b, h, i, 0)
+        out_specs=(
+            [
+                pl.BlockSpec(
+                    (1, h_block, block_q, head_dim), lambda b, h, i: (b, h, i, 0)
+                ),
+                # LSE rides a trailing singleton dim so the block's last two
+                # dims are (block_q, 1) — Mosaic requires the last two block
+                # dims be (8,128)-divisible or equal to the array dims, and
+                # (h_block, block_q) trailing dims fail that when h_block∉{8k,H}.
+                pl.BlockSpec(
+                    (1, h_block, block_q, 1), lambda b, h, i: (b, h, i, 0)
+                ),
+            ]
+            if emit_lse
+            else pl.BlockSpec(
+                (1, h_block, block_q, head_dim), lambda b, h, i: (b, h, i, 0)
+            )
         ),
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        out_shape=(
+            [
+                jax.ShapeDtypeStruct(q.shape, q.dtype),
+                jax.ShapeDtypeStruct((batch, num_heads, seq_len, 1), jnp.float32),
+            ]
+            if emit_lse
+            else jax.ShapeDtypeStruct(q.shape, q.dtype)
+        ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
         ),
@@ -293,16 +344,315 @@ def _xla_reference(q, k, v, mask_arr, rope, window):
 
 
 def _flash_fwd(q, k, v, mask_arr, rope, window, block_q, block_k):
-    out = _flash_attention_core(q, k, v, mask_arr, rope, window, block_q, block_k)
-    return out, (q, k, v, mask_arr, rope)
+    padding_mask = mask_arr if mask_arr is not None else None
+    out, lse = _flash_forward(
+        q, k, v, padding_mask, rope, window, block_q, block_k, emit_lse=True
+    )
+    return out, (q, k, v, mask_arr, rope, out, lse)
+
+
+def _apply_rope_block(x, cos, sin, half_sign):
+    return x * cos + _rotate_half_block(x, half_sign) * sin
+
+
+def _rope_adjoint(g, cos, sin, half_sign):
+    """Adjoint of x ↦ x·cos + rot_half(x)·sin: g·cos − rot_half(g·sin)."""
+    return g * cos - _rotate_half_block(g * sin, half_sign)
+
+
+def _bwd_dq_kernel(
+    q_ref,  # [1, h, bq, D]
+    k_ref,  # [1, h, S, D]
+    v_ref,  # [1, h, S, D]
+    do_ref,  # [1, h, bq, D]
+    lse_ref,  # [1, h, bq, 1] fp32
+    delta_ref,  # [1, h, bq, 1] fp32
+    mask_ref,  # [1, 1, S]
+    rope_ref,  # [2, S, D]
+    dq_ref,  # [1, h, bq, D]
+    *,
+    seq_len: int,
+    block_q: int,
+    block_k: int,
+    h_block: int,
+    window: int | None,
+    scale: float,
+    has_mask: bool,
+    has_rope: bool,
+):
+    qi = pl.program_id(2)
+    num_k_blocks = seq_len // block_k
+    if window is None:
+        k_lo, k_hi = 0, num_k_blocks
+    else:
+        q_start = qi * block_q
+        q_end = q_start + block_q - 1
+        k_lo = jnp.maximum(0, (q_start - window) // block_k)
+        k_hi = jnp.minimum(num_k_blocks, (q_end + window) // block_k + 1)
+
+    row_ids = (
+        jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) + qi * block_q
+    )
+    head_dim = q_ref.shape[-1]
+    if has_rope:
+        half_sign = jnp.concatenate(
+            [
+                jnp.full((1, head_dim // 2), -1.0, dtype=q_ref.dtype),
+                jnp.ones((1, head_dim // 2), dtype=q_ref.dtype),
+            ],
+            axis=-1,
+        )
+        cos_q = rope_ref[0, pl.ds(qi * block_q, block_q), :]
+        sin_q = rope_ref[1, pl.ds(qi * block_q, block_q), :]
+
+    def head_body(h, _):
+        q = q_ref[0, h]
+        if has_rope:
+            q = _apply_rope_block(q, cos_q, sin_q, half_sign)
+        do = do_ref[0, h]
+        lse = lse_ref[0, h]  # [bq, 1] fp32
+        delta = delta_ref[0, h]
+
+        def body(kj, acc):
+            k_off = kj * block_k
+            k = k_ref[0, h, pl.ds(k_off, block_k), :]
+            v = v_ref[0, h, pl.ds(k_off, block_k), :]
+            if has_rope:
+                cos_k = rope_ref[0, pl.ds(k_off, block_k), :]
+                sin_k = rope_ref[1, pl.ds(k_off, block_k), :]
+                k = _apply_rope_block(k, cos_k, sin_k, half_sign)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * scale
+            col_ids = (
+                jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + k_off
+            )
+            if window is not None:
+                s = jnp.where(jnp.abs(row_ids - col_ids) <= window, s, _NEG_INF)
+            if has_mask:
+                kmask = mask_ref[0, 0, pl.ds(k_off, block_k)]
+                s = jnp.where((kmask > 0)[None, :], s, _NEG_INF)
+            p = jnp.exp(s - lse)  # [bq, bk] fp32
+            dp = jax.lax.dot_general(
+                do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )  # [bq, bk]
+            ds = p * (dp - delta)  # fp32
+            return acc + jax.lax.dot_general(
+                ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        acc = jax.lax.fori_loop(
+            k_lo, k_hi, body, jnp.zeros((block_q, head_dim), dtype=jnp.float32)
+        )
+        dq_rot = acc * scale
+        if has_rope:
+            dq_rot = _rope_adjoint(
+                dq_rot.astype(q_ref.dtype), cos_q, sin_q, half_sign
+            )
+        dq_ref[0, h] = dq_rot.astype(dq_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, h_block, head_body, 0)
+
+
+def _bwd_dkv_kernel(
+    q_ref,  # [1, h, S, D]
+    k_ref,  # [1, h, bk, D]
+    v_ref,  # [1, h, bk, D]
+    do_ref,  # [1, h, S, D]
+    lse_ref,  # [1, h, S, 1] fp32
+    delta_ref,  # [1, h, S, 1] fp32
+    mask_ref,  # [1, 1, S]
+    rope_ref,  # [2, S, D]
+    dk_ref,  # [1, h, bk, D]
+    dv_ref,  # [1, h, bk, D]
+    *,
+    seq_len: int,
+    block_q: int,
+    block_k: int,
+    h_block: int,
+    window: int | None,
+    scale: float,
+    has_mask: bool,
+    has_rope: bool,
+):
+    kj = pl.program_id(2)
+    k_off = kj * block_k
+    num_q_blocks = seq_len // block_q
+    if window is None:
+        q_lo, q_hi = 0, num_q_blocks
+    else:
+        q_lo = jnp.maximum(0, (k_off - window) // block_q)
+        q_hi = jnp.minimum(
+            num_q_blocks, (k_off + block_k - 1 + window) // block_q + 1
+        )
+
+    col_ids = (
+        jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + k_off
+    )
+    head_dim = q_ref.shape[-1]
+    if has_rope:
+        half_sign = jnp.concatenate(
+            [
+                jnp.full((1, head_dim // 2), -1.0, dtype=q_ref.dtype),
+                jnp.ones((1, head_dim // 2), dtype=q_ref.dtype),
+            ],
+            axis=-1,
+        )
+        cos_k = rope_ref[0, pl.ds(k_off, block_k), :]
+        sin_k = rope_ref[1, pl.ds(k_off, block_k), :]
+    if has_mask:
+        kmask_block = mask_ref[0, 0, pl.ds(k_off, block_k)]
+
+    def head_body(h, _):
+        k = k_ref[0, h]
+        if has_rope:
+            k = _apply_rope_block(k, cos_k, sin_k, half_sign)
+        v = v_ref[0, h]
+
+        def body(qi, carry):
+            dk_acc, dv_acc = carry
+            q_off = qi * block_q
+            q = q_ref[0, h, pl.ds(q_off, block_q), :]
+            if has_rope:
+                cos_q = rope_ref[0, pl.ds(q_off, block_q), :]
+                sin_q = rope_ref[1, pl.ds(q_off, block_q), :]
+                q = _apply_rope_block(q, cos_q, sin_q, half_sign)
+            do = do_ref[0, h, pl.ds(q_off, block_q), :]
+            lse = lse_ref[0, h, pl.ds(q_off, block_q)]  # [bq, 1]
+            delta = delta_ref[0, h, pl.ds(q_off, block_q)]
+
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * scale  # [bq, bk]
+            row_ids = (
+                jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) + q_off
+            )
+            if window is not None:
+                s = jnp.where(jnp.abs(row_ids - col_ids) <= window, s, _NEG_INF)
+            if has_mask:
+                s = jnp.where((kmask_block > 0)[None, :], s, _NEG_INF)
+            p = jnp.exp(s - lse)  # [bq, bk]
+            dv_new = dv_acc + jax.lax.dot_general(
+                p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [bk, D]
+            dp = jax.lax.dot_general(
+                do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )  # [bq, bk]
+            ds = p * (dp - delta)
+            dk_new = dk_acc + jax.lax.dot_general(
+                ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [bk, D]
+            return dk_new, dv_new
+
+        zeros = jnp.zeros((block_k, head_dim), dtype=jnp.float32)
+        dk_acc, dv_acc = jax.lax.fori_loop(q_lo, q_hi, body, (zeros, zeros))
+        dk_rot = dk_acc * scale
+        if has_rope:
+            dk_rot = _rope_adjoint(
+                dk_rot.astype(k_ref.dtype), cos_k, sin_k, half_sign
+            )
+        dk_ref[0, h] = dk_rot.astype(dk_ref.dtype)
+        dv_ref[0, h] = dv_acc.astype(dv_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, h_block, head_body, 0)
+
+
+def _flash_backward(q, k, v, mask_arr, rope, out, lse, g, window, block_q, block_k):
+    batch, num_heads, seq_len, head_dim = q.shape
+    scale = head_dim**-0.5
+    has_mask = mask_arr is not None
+    mask_in = (
+        mask_arr.astype(jnp.int32).reshape(batch, 1, seq_len)
+        if has_mask
+        else jnp.ones((batch, 1, seq_len), dtype=jnp.int32)
+    )
+    has_rope = rope is not None
+    rope_in = (
+        rope.astype(q.dtype)
+        if has_rope
+        else jnp.zeros((2, seq_len, head_dim), dtype=q.dtype)
+    )
+    # [B,H,S,1] — trailing singleton keeps the Pallas block dims legal.
+    delta = (g.astype(jnp.float32) * out.astype(jnp.float32)).sum(-1, keepdims=True)
+    g = g.astype(q.dtype)
+
+    # The dkv kernel holds full-length [S, 1] LSE+delta tiles per head.
+    h_block = _choose_h_block(
+        num_heads,
+        seq_len,
+        head_dim,
+        max(block_q, block_k),
+        jnp.dtype(q.dtype).itemsize,
+        row_tile_rows=2 * seq_len,
+    )
+    statics = dict(
+        seq_len=seq_len,
+        block_q=block_q,
+        block_k=block_k,
+        h_block=h_block,
+        window=window,
+        scale=scale,
+        has_mask=has_mask,
+        has_rope=has_rope,
+    )
+    full_spec = pl.BlockSpec((1, h_block, seq_len, head_dim), lambda b, h, i: (b, h, 0, 0))
+    qblk_spec = pl.BlockSpec((1, h_block, block_q, head_dim), lambda b, h, i: (b, h, i, 0))
+    kblk_spec = pl.BlockSpec((1, h_block, block_k, head_dim), lambda b, h, i: (b, h, i, 0))
+    qrow_spec = pl.BlockSpec(
+        (1, h_block, block_q, 1), lambda b, h, i: (b, h, i, 0)
+    )
+    full_row_spec = pl.BlockSpec(
+        (1, h_block, seq_len, 1), lambda b, h, i: (b, h, 0, 0)
+    )
+    mask_spec = pl.BlockSpec((1, 1, seq_len), lambda b, h, i: (b, 0, 0))
+    rope_spec = pl.BlockSpec((2, seq_len, head_dim), lambda b, h, i: (0, 0, 0))
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, **statics),
+        grid=(batch, num_heads // h_block, seq_len // block_q),
+        in_specs=[qblk_spec, full_spec, full_spec, qblk_spec, qrow_spec,
+                  qrow_spec, mask_spec, rope_spec],
+        out_specs=qblk_spec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+    )(q, k, v, g, lse, delta, mask_in, rope_in)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, **statics),
+        grid=(batch, num_heads // h_block, seq_len // block_k),
+        in_specs=[full_spec, kblk_spec, kblk_spec, full_spec, full_row_spec,
+                  full_row_spec, mask_spec, rope_spec],
+        out_specs=[kblk_spec, kblk_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+    )(q, k, v, g, lse, delta, mask_in, rope_in)
+    return dq, dk, dv
 
 
 def _flash_bwd(window, block_q, block_k, residuals, g):
-    q, k, v, mask_arr, rope = residuals
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_: _xla_reference(q_, k_, v_, mask_arr, rope, window), q, k, v
-    )
-    dq, dk, dv = vjp(g)
+    q, k, v, mask_arr, rope, out, lse = residuals
+    if os.environ.get("OPEN_PROVENCE_TPU_FLASH_BWD", "pallas") == "xla":
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_: _xla_reference(q_, k_, v_, mask_arr, rope, window),
+            q, k, v,
+        )
+        dq, dk, dv = vjp(g)
+    else:
+        dq, dk, dv = _flash_backward(
+            q, k, v, mask_arr, rope, out, lse, g, window, block_q, block_k
+        )
     d_rope = None if rope is None else jnp.zeros_like(rope)
     return dq, dk, dv, None, d_rope
 

@@ -117,7 +117,13 @@ def bench_train_step(config, params, pairs=256, seq=512, iters=4):
         "batch_indices": np.arange(pairs, dtype=np.int32),
         "doc_indices": np.zeros((pairs,), dtype=np.int32),
     }
-    trainer.train_one_step(batch)  # compile
+    # Two warmup steps, not one: the step donates params/opt_state, and the
+    # first execution hands back arrays in the executable's preferred (tiled)
+    # layouts, which differ from device_put defaults — so the SECOND call
+    # recompiles once for the new layout signature and every later call hits
+    # the cache. Timing from step 3 measures the steady state.
+    trainer.train_one_step(batch)  # compile #1 (default layouts)
+    trainer.train_one_step(batch)  # compile #2 (donated/tiled layouts)
     start = time.perf_counter()
     for _ in range(iters):
         metrics = trainer.train_one_step(batch)  # train_one_step fetches metrics

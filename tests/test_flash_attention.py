@@ -67,20 +67,37 @@ def test_flash_bf16_matches_xla_loosely():
     )
 
 
-def test_flash_gradient_via_custom_vjp():
+@pytest.mark.parametrize("bwd_impl", ["pallas", "xla"])
+@pytest.mark.parametrize("padded", [False, True])
+def test_flash_gradient_via_custom_vjp(bwd_impl, padded, monkeypatch):
+    monkeypatch.setenv("OPEN_PROVENCE_TPU_FLASH_BWD", bwd_impl)
     q, k, v = _rand_qkv(seq=128)
+    padding_mask = None
+    if padded:
+        pm = np.ones((q.shape[0], 128), dtype=np.int32)
+        pm[0, 100:] = 0
+        padding_mask = jnp.asarray(pm)
+
+    # Sum the loss over VALID query rows only (like the real model's masked
+    # losses): fully-masked rows are a documented primal divergence between
+    # the guarded flash forward (zeros) and XLA softmax (uniform).
+    row_weight = (
+        padding_mask[:, None, :, None].astype(jnp.float32)
+        if padding_mask is not None
+        else 1.0
+    )
 
     def loss_flash(q, k, v):
-        with pltpu.force_tpu_interpret_mode():
-            out = flash_attention(q, k, v, padding_mask=None, window=16)
-        return (out.astype(jnp.float32) ** 2).sum()
+        out = flash_attention(q, k, v, padding_mask=padding_mask, window=16)
+        return ((out.astype(jnp.float32) * row_weight) ** 2).sum()
 
     def loss_ref(q, k, v):
-        bias = attention_bias(None, q.shape[2], 16, dtype=jnp.float32)
+        bias = attention_bias(padding_mask, q.shape[2], 16, dtype=jnp.float32)
         out = xla_attention(q, k, v, bias)
-        return (out.astype(jnp.float32) ** 2).sum()
+        return ((out.astype(jnp.float32) * row_weight) ** 2).sum()
 
-    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g_flash, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
@@ -105,26 +122,29 @@ def test_flash_fused_rope_matches_external(window):
     )
 
 
-def test_flash_fused_rope_gradient():
+@pytest.mark.parametrize("bwd_impl", ["pallas", "xla"])
+@pytest.mark.parametrize("window", [None, 16])
+def test_flash_fused_rope_gradient(bwd_impl, window, monkeypatch):
+    monkeypatch.setenv("OPEN_PROVENCE_TPU_FLASH_BWD", bwd_impl)
     from open_provence_tpu.ops.rotary import apply_rotary, rope_tables
 
     q, k, v = _rand_qkv(seq=128)
     cos, sin = rope_tables(128, 64, 160000.0)
 
     def loss_flash(q, k, v):
-        with pltpu.force_tpu_interpret_mode():
-            out = flash_attention(
-                q, k, v, padding_mask=None, window=16, rope=(cos, sin)
-            )
+        out = flash_attention(
+            q, k, v, padding_mask=None, window=window, rope=(cos, sin)
+        )
         return (out.astype(jnp.float32) ** 2).sum()
 
     def loss_ref(q, k, v):
         q_rot, k_rot = apply_rotary(q, k, cos, sin)
-        bias = attention_bias(None, 128, 16, dtype=jnp.float32)
+        bias = attention_bias(None, 128, window, dtype=jnp.float32)
         out = xla_attention(q_rot, k_rot, v, bias)
         return (out.astype(jnp.float32) ** 2).sum()
 
-    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g_flash, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
