@@ -31,7 +31,8 @@ import jax
 import jax.numpy as jnp
 
 from ..configs import ModernBertBackboneConfig
-from ..ops.attention import multi_head_attention
+from ..ops.attention import multi_head_attention, use_packed_flash
+from ..ops.flash_attention import flash_attention_packed
 from ..ops.rotary import rope_tables
 
 _ACTIVATIONS = {
@@ -89,16 +90,37 @@ class ModernBertAttention(nn.Module):
         head_dim = cfg.head_dim
 
         qkv = nn.Dense(3 * cfg.hidden_size, use_bias=cfg.attention_bias, name="Wqkv")(x)
+
+        theta = cfg.layer_rope_theta(self.layer_id)
+        cos, sin = rope_tables(seq_len, head_dim, theta, dtype=jnp.float32)
+        window_ = cfg.layer_window(self.layer_id)
+        if use_packed_flash(attention_impl, batch, seq_len, num_heads, head_dim):
+            # TPU fast path: the fused Wqkv output feeds the kernel directly
+            # in HF lane order (qkv, head, dim) — no q/k/v unbind and no
+            # [B,S,H,D]↔[B,H,S,D] transposes (~16% of forward time at
+            # B=32, S=512 on v5e).
+            out = flash_attention_packed(
+                qkv,
+                num_heads=num_heads,
+                padding_mask=padding_mask,
+                window=window_,
+                rope=(cos, sin),
+            )
+            out = nn.Dense(
+                cfg.hidden_size, use_bias=cfg.attention_bias, name="Wo"
+            )(out)
+            if cfg.attention_dropout > 0.0:
+                out = nn.Dropout(cfg.attention_dropout)(
+                    out, deterministic=deterministic
+                )
+            return out
+
         qkv = qkv.reshape(batch, seq_len, 3, num_heads, head_dim)
         # → [B, H, S, D] each (HF eager layout)
         q, k, v = (
             jnp.moveaxis(qkv[:, :, i], 2, 1) for i in range(3)
         )
 
-        theta = cfg.layer_rope_theta(self.layer_id)
-        cos, sin = rope_tables(seq_len, head_dim, theta, dtype=jnp.float32)
-
-        window = cfg.layer_window(self.layer_id)
         # Rotary is delegated to the attention op: the pallas path fuses it
         # into the kernel (saves the rotate-half fusion + two rotated-array
         # materializations per layer); the xla path applies it there.
@@ -107,7 +129,7 @@ class ModernBertAttention(nn.Module):
             k,
             v,
             padding_mask=padding_mask,
-            window=window,
+            window=window_,
             rope=(cos, sin),
             impl=attention_impl,
         )

@@ -129,3 +129,30 @@ def multi_head_attention(
         bias = attention_bias(padding_mask, seq_len, window, dtype=jnp.float32)
         return xla_attention(q, k, v, bias)
     raise ValueError(f"Unknown attention impl: {impl!r}")
+
+
+def use_packed_flash(
+    impl: str, batch: int, seq_len: int, num_heads: int, head_dim: int
+) -> bool:
+    """Whether the model should feed the fused Wqkv output straight into
+    ``flash_attention_packed`` (skipping the q/k/v unbind + transposes).
+
+    Mirrors the ``impl="auto"`` pallas gating in :func:`multi_head_attention`
+    plus the packed kernel's structural constraints.
+
+    Measured on v5e (ModernBERT-base, B=32, S=512, alternating in-process
+    A/B): packed 70.4 ms vs unpacked 86.5 ms (+23%) — the saved q/k/v
+    unbind + [B,S,H,D]↔[B,H,S,D] transposes outweigh the in-kernel 64-lane
+    head extraction. ``OPEN_PROVENCE_TPU_PACKED=0`` forces the unpacked
+    path (A/B escape hatch)."""
+    if impl == "xla":
+        return False
+    if os.environ.get("OPEN_PROVENCE_TPU_PACKED", "1") == "0":
+        return False
+    from .flash_attention import pallas_packed_supported
+
+    if not pallas_packed_supported(batch, seq_len, num_heads, head_dim):
+        return False
+    if impl == "pallas":
+        return True
+    return _default_platform() == "tpu" and seq_len >= PALLAS_MIN_SEQ

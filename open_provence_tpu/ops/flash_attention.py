@@ -207,20 +207,23 @@ def _choose_h_block(
     block_q: int,
     itemsize: int,
     row_tile_rows: int = 0,
+    even_only: bool = False,
 ) -> int:
     """Heads per program under the scoped-VMEM budget (see _flash_forward).
 
     ``row_tile_rows`` counts fp32 rows of [rows, 1] LSE/delta tiles held per
     head; Mosaic pads their lane dim to 128, so each row costs 128·4 bytes
-    (doubled for Pallas' double buffering)."""
+    (doubled for Pallas' double buffering). ``even_only`` restricts to even
+    counts (the packed kernels process heads in pairs)."""
     per_head_bytes = 4 * (2 * seq_len * head_dim * itemsize + 2 * block_q * head_dim * 4)
     per_head_bytes += 2 * row_tile_rows * 128 * 4
     vmem_budget = 10 * 1024 * 1024
     h_cap = max(1, vmem_budget // max(per_head_bytes, 1))
-    for cand in (8, 6, 4, 3, 2, 1):
+    candidates = (8, 6, 4, 2) if even_only else (8, 6, 4, 3, 2, 1)
+    for cand in candidates:
         if cand <= h_cap and num_heads % cand == 0:
             return cand
-    return 1
+    return 2 if even_only else 1
 
 
 def _flash_forward(
@@ -698,3 +701,694 @@ def flash_attention(
         cos, sin = rope
         rope_arr = jnp.stack([cos.astype(q.dtype), sin.astype(q.dtype)], axis=0)
     return _flash_attention_core(q, k, v, mask_arr, rope_arr, window, block_q, block_k)
+
+
+# ---------------------------------------------------------------------------
+# Packed-QKV path
+#
+# Consumes the fused Wqkv projection output [B, S, 3·H·D] directly, in the HF
+# lane order (qkv, head, dim) — see the reference's fused Wqkv at
+# modeling_open_provence_standalone.py:1569-1578. The kernel reads q/k/v as
+# lane regions of ONE buffer (the array is passed three times with different
+# index maps; XLA keeps a single allocation), so the [B,S,3,H,D]→[B,H,S,D]
+# transposes and the output transpose before Wo disappear entirely — those
+# copies measured ~16% of forward time at B=32, S=512 on v5e.
+#
+# Mosaic only lowers dynamic lane offsets that are 128-aligned, so heads are
+# processed in pairs (2·head_dim must be a multiple of 128; every ModernBERT
+# family uses head_dim=64). Within a pair the two heads share one [·, 128]
+# load and are split by static lane slices.
+# ---------------------------------------------------------------------------
+
+
+def pallas_packed_supported(
+    batch: int, seq_len: int, num_heads: int, head_dim: int,
+    block_q: int = DEFAULT_BLOCK_Q,
+) -> bool:
+    """True when the packed-QKV kernel can run on [B, S, 3·H·D]."""
+    return (
+        seq_len % block_q == 0
+        and seq_len >= block_q
+        and (2 * head_dim) % 128 == 0
+        and num_heads % 2 == 0
+    )
+
+
+def _flash_kernel_packed(
+    q_ref,  # [1, block_q, h_block·D] — q lane region of the packed buffer
+    k_ref,  # [1, S, h_block·D] — k lane region
+    v_ref,  # [1, S, h_block·D] — v lane region
+    mask_ref,  # [1, 1, S] int32 (1 = valid)
+    rope_ref,  # [2, S, D] cos/sin
+    o_ref,  # [1, block_q, h_block·D]
+    *maybe_lse,  # optional lse_ref [1, h_block, block_q, 1] fp32 (training)
+    seq_len: int,
+    block_q: int,
+    block_k: int,
+    h_block: int,
+    head_dim: int,
+    window: int | None,
+    scale: float,
+    has_mask: bool,
+    has_rope: bool,
+):
+    lse_ref = maybe_lse[0] if maybe_lse else None
+    qi = pl.program_id(2)
+    scale_is_pow2 = float(scale) != 0.0 and (
+        abs(scale) == 2.0 ** round(math.log2(abs(scale)))
+    )
+
+    num_k_blocks = seq_len // block_k
+    if window is None:
+        k_lo, k_hi = 0, num_k_blocks
+    else:
+        q_start = qi * block_q
+        q_end = q_start + block_q - 1
+        k_lo = jnp.maximum(0, (q_start - window) // block_k)
+        k_hi = jnp.minimum(num_k_blocks, (q_end + window) // block_k + 1)
+
+    row_ids = (
+        jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) + qi * block_q
+    )
+    lanes = 2 * head_dim
+    if has_rope:
+        half_sign = jnp.concatenate(
+            [
+                jnp.full((1, head_dim // 2), -1.0, dtype=q_ref.dtype),
+                jnp.ones((1, head_dim // 2), dtype=q_ref.dtype),
+            ],
+            axis=-1,
+        )
+        cos_q = rope_ref[0, pl.ds(qi * block_q, block_q), :]
+        sin_q = rope_ref[1, pl.ds(qi * block_q, block_q), :]
+
+    def pair_body(p, _):
+        q_pair = q_ref[0, :, pl.ds(p * lanes, lanes)]  # [bq, 2D]
+        qs = []
+        for sub in range(2):
+            q = q_pair[:, sub * head_dim:(sub + 1) * head_dim]
+            if has_rope:
+                q = q * cos_q + _rotate_half_block(q, half_sign) * sin_q
+            if scale_is_pow2:
+                q = q * jnp.asarray(scale, dtype=q.dtype)
+            qs.append(q)
+
+        def body(kj, carry):
+            m0, l0, a0, m1, l1, a1 = carry
+            k_off = kj * block_k
+            k_pair = k_ref[0, pl.ds(k_off, block_k), pl.ds(p * lanes, lanes)]
+            v_pair = v_ref[0, pl.ds(k_off, block_k), pl.ds(p * lanes, lanes)]
+            if has_rope:
+                cos_k = rope_ref[0, pl.ds(k_off, block_k), :]
+                sin_k = rope_ref[1, pl.ds(k_off, block_k), :]
+            col_ids = (
+                jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + k_off
+            )
+            if has_mask:
+                kmask = mask_ref[0, 0, pl.ds(k_off, block_k)]
+            out_carry = []
+            for sub, (m_prev, l_prev, acc_prev) in (
+                (0, (m0, l0, a0)),
+                (1, (m1, l1, a1)),
+            ):
+                k = k_pair[:, sub * head_dim:(sub + 1) * head_dim]
+                v = v_pair[:, sub * head_dim:(sub + 1) * head_dim]
+                if has_rope:
+                    k = k * cos_k + _rotate_half_block(k, half_sign) * sin_k
+                s = jax.lax.dot_general(
+                    qs[sub], k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                if not scale_is_pow2:
+                    s = s * scale
+                if window is not None:
+                    s = jnp.where(jnp.abs(row_ids - col_ids) <= window, s, _NEG_INF)
+                if has_mask:
+                    s = jnp.where((kmask > 0)[None, :], s, _NEG_INF)
+                m_cur = jnp.max(s, axis=-1, keepdims=True)
+                m_new = jnp.maximum(m_prev, m_cur)
+                p_mat = jnp.exp(s - m_new)
+                alpha = jnp.exp(m_prev - m_new)
+                l_new = l_prev * alpha + jnp.sum(p_mat, axis=-1, keepdims=True)
+                acc_new = acc_prev * alpha + jax.lax.dot_general(
+                    p_mat.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                out_carry.extend((m_new, l_new, acc_new))
+            return tuple(out_carry)
+
+        init_one = (
+            jnp.full((block_q, 1), _NEG_INF, dtype=jnp.float32),
+            jnp.zeros((block_q, 1), dtype=jnp.float32),
+            jnp.zeros((block_q, head_dim), dtype=jnp.float32),
+        )
+        m0, l0, a0, m1, l1, a1 = jax.lax.fori_loop(
+            k_lo, k_hi, body, init_one + init_one
+        )
+        halves = []
+        for sub, (m, l, acc) in ((0, (m0, l0, a0)), (1, (m1, l1, a1))):
+            if lse_ref is not None:
+                lse = jnp.where(l == 0.0, -_NEG_INF, m + jnp.log(l))
+                lse_ref[0, 2 * p + sub] = lse  # [block_q, 1]
+            l = jnp.where(l == 0.0, 1.0, l)
+            halves.append((acc / l).astype(o_ref.dtype))
+        o_ref[0, :, pl.ds(p * lanes, lanes)] = jnp.concatenate(halves, axis=-1)
+        return 0
+
+    jax.lax.fori_loop(0, h_block // 2, pair_body, 0)
+
+
+def _packed_specs(
+    batch: int, seq_len: int, num_heads: int, head_dim: int, h_block: int,
+    block_q: int,
+):
+    """BlockSpecs mapping q/k/v lane regions of one [B, S, 3·H·D] buffer.
+
+    The lane-dim block index is in units of h_block·D, so region offsets are
+    multiples of ``groups = H // h_block``."""
+    groups = num_heads // h_block
+    lane_blk = h_block * head_dim
+    q_spec = pl.BlockSpec((1, block_q, lane_blk), lambda b, h, i: (b, i, h))
+    k_spec = pl.BlockSpec(
+        (1, seq_len, lane_blk), lambda b, h, i: (b, 0, groups + h)
+    )
+    v_spec = pl.BlockSpec(
+        (1, seq_len, lane_blk), lambda b, h, i: (b, 0, 2 * groups + h)
+    )
+    return q_spec, k_spec, v_spec, lane_blk
+
+
+def _flash_forward_packed(
+    qkv: jnp.ndarray,
+    num_heads: int,
+    padding_mask: jnp.ndarray | None,
+    rope: jnp.ndarray | None,
+    window: int | None,
+    block_q: int,
+    block_k: int,
+    emit_lse: bool = False,
+):
+    batch, seq_len, three_hd = qkv.shape
+    head_dim = three_hd // (3 * num_heads)
+    hidden = num_heads * head_dim
+    scale = head_dim**-0.5
+    has_mask = padding_mask is not None
+    mask_arr = (
+        padding_mask.astype(jnp.int32).reshape(batch, 1, seq_len)
+        if has_mask
+        else jnp.ones((batch, 1, seq_len), dtype=jnp.int32)
+    )
+    has_rope = rope is not None
+    rope_in = (
+        rope.astype(qkv.dtype)
+        if has_rope
+        else jnp.zeros((2, seq_len, head_dim), dtype=qkv.dtype)
+    )
+    h_block = _choose_h_block(
+        num_heads,
+        seq_len,
+        head_dim,
+        block_q,
+        jnp.dtype(qkv.dtype).itemsize,
+        row_tile_rows=block_q if emit_lse else 0,
+        even_only=True,
+    )
+    q_spec, k_spec, v_spec, lane_blk = _packed_specs(
+        batch, seq_len, num_heads, head_dim, h_block, block_q
+    )
+    grid = (batch, num_heads // h_block, seq_len // block_q)
+    kernel = functools.partial(
+        _flash_kernel_packed,
+        seq_len=seq_len,
+        block_q=block_q,
+        block_k=block_k,
+        h_block=h_block,
+        head_dim=head_dim,
+        window=window,
+        scale=scale,
+        has_mask=has_mask,
+        has_rope=has_rope,
+    )
+    out_spec = pl.BlockSpec((1, block_q, lane_blk), lambda b, h, i: (b, i, h))
+    lse_spec = pl.BlockSpec((1, h_block, block_q, 1), lambda b, h, i: (b, h, i, 0))
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            q_spec,
+            k_spec,
+            v_spec,
+            pl.BlockSpec((1, 1, seq_len), lambda b, h, i: (b, 0, 0)),
+            pl.BlockSpec((2, seq_len, head_dim), lambda b, h, i: (0, 0, 0)),
+        ],
+        out_specs=([out_spec, lse_spec] if emit_lse else out_spec),
+        out_shape=(
+            [
+                jax.ShapeDtypeStruct((batch, seq_len, hidden), qkv.dtype),
+                jax.ShapeDtypeStruct((batch, num_heads, seq_len, 1), jnp.float32),
+            ]
+            if emit_lse
+            else jax.ShapeDtypeStruct((batch, seq_len, hidden), qkv.dtype)
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * batch * num_heads * seq_len * seq_len * head_dim,
+            bytes_accessed=qkv.size * qkv.dtype.itemsize * 2,
+            transcendentals=batch * num_heads * seq_len * seq_len,
+        ),
+    )(qkv, qkv, qkv, mask_arr, rope_in)
+
+
+def _bwd_dq_kernel_packed(
+    q_ref,  # [1, bq, h·D] — q lane region
+    k_ref,  # [1, S, h·D]
+    v_ref,  # [1, S, h·D]
+    do_ref,  # [1, bq, h·D]
+    lse_ref,  # [1, h, bq, 1] fp32
+    delta_ref,  # [1, h, bq, 1] fp32
+    mask_ref,  # [1, 1, S]
+    rope_ref,  # [2, S, D]
+    dq_ref,  # [1, bq, h·D]
+    *,
+    seq_len: int,
+    block_q: int,
+    block_k: int,
+    h_block: int,
+    head_dim: int,
+    window: int | None,
+    scale: float,
+    has_mask: bool,
+    has_rope: bool,
+):
+    qi = pl.program_id(2)
+    num_k_blocks = seq_len // block_k
+    if window is None:
+        k_lo, k_hi = 0, num_k_blocks
+    else:
+        q_start = qi * block_q
+        q_end = q_start + block_q - 1
+        k_lo = jnp.maximum(0, (q_start - window) // block_k)
+        k_hi = jnp.minimum(num_k_blocks, (q_end + window) // block_k + 1)
+
+    row_ids = (
+        jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) + qi * block_q
+    )
+    lanes = 2 * head_dim
+    if has_rope:
+        half_sign = jnp.concatenate(
+            [
+                jnp.full((1, head_dim // 2), -1.0, dtype=q_ref.dtype),
+                jnp.ones((1, head_dim // 2), dtype=q_ref.dtype),
+            ],
+            axis=-1,
+        )
+        cos_q = rope_ref[0, pl.ds(qi * block_q, block_q), :]
+        sin_q = rope_ref[1, pl.ds(qi * block_q, block_q), :]
+
+    def pair_body(p, _):
+        q_pair = q_ref[0, :, pl.ds(p * lanes, lanes)]
+        do_pair = do_ref[0, :, pl.ds(p * lanes, lanes)]
+        qs, dos, lses, deltas = [], [], [], []
+        for sub in range(2):
+            q = q_pair[:, sub * head_dim:(sub + 1) * head_dim]
+            if has_rope:
+                q = q * cos_q + _rotate_half_block(q, half_sign) * sin_q
+            qs.append(q)
+            dos.append(do_pair[:, sub * head_dim:(sub + 1) * head_dim])
+            lses.append(lse_ref[0, 2 * p + sub])  # [bq, 1] fp32
+            deltas.append(delta_ref[0, 2 * p + sub])
+
+        def body(kj, carry):
+            acc0, acc1 = carry
+            k_off = kj * block_k
+            k_pair = k_ref[0, pl.ds(k_off, block_k), pl.ds(p * lanes, lanes)]
+            v_pair = v_ref[0, pl.ds(k_off, block_k), pl.ds(p * lanes, lanes)]
+            if has_rope:
+                cos_k = rope_ref[0, pl.ds(k_off, block_k), :]
+                sin_k = rope_ref[1, pl.ds(k_off, block_k), :]
+            col_ids = (
+                jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + k_off
+            )
+            if has_mask:
+                kmask = mask_ref[0, 0, pl.ds(k_off, block_k)]
+            accs = []
+            for sub, acc in ((0, acc0), (1, acc1)):
+                k = k_pair[:, sub * head_dim:(sub + 1) * head_dim]
+                v = v_pair[:, sub * head_dim:(sub + 1) * head_dim]
+                if has_rope:
+                    k = k * cos_k + _rotate_half_block(k, half_sign) * sin_k
+                s = jax.lax.dot_general(
+                    qs[sub], k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * scale
+                if window is not None:
+                    s = jnp.where(jnp.abs(row_ids - col_ids) <= window, s, _NEG_INF)
+                if has_mask:
+                    s = jnp.where((kmask > 0)[None, :], s, _NEG_INF)
+                p_mat = jnp.exp(s - lses[sub])
+                dp = jax.lax.dot_general(
+                    dos[sub], v, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                ds = p_mat * (dp - deltas[sub])
+                accs.append(
+                    acc + jax.lax.dot_general(
+                        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                )
+            return tuple(accs)
+
+        zeros = jnp.zeros((block_q, head_dim), dtype=jnp.float32)
+        acc0, acc1 = jax.lax.fori_loop(k_lo, k_hi, body, (zeros, zeros))
+        halves = []
+        for acc in (acc0, acc1):
+            dq_rot = acc * scale
+            if has_rope:
+                dq_rot = _rope_adjoint(
+                    dq_rot.astype(q_ref.dtype), cos_q, sin_q, half_sign
+                )
+            halves.append(dq_rot.astype(dq_ref.dtype))
+        dq_ref[0, :, pl.ds(p * lanes, lanes)] = jnp.concatenate(halves, axis=-1)
+        return 0
+
+    jax.lax.fori_loop(0, h_block // 2, pair_body, 0)
+
+
+def _bwd_dkv_kernel_packed(
+    q_ref,  # [1, S, h·D]
+    k_ref,  # [1, bk, h·D]
+    v_ref,  # [1, bk, h·D]
+    do_ref,  # [1, S, h·D]
+    lse_ref,  # [1, h, S, 1] fp32
+    delta_ref,  # [1, h, S, 1] fp32
+    mask_ref,  # [1, 1, S]
+    rope_ref,  # [2, S, D]
+    dk_ref,  # [1, bk, h·D]
+    dv_ref,  # [1, bk, h·D]
+    *,
+    seq_len: int,
+    block_q: int,
+    block_k: int,
+    h_block: int,
+    head_dim: int,
+    window: int | None,
+    scale: float,
+    has_mask: bool,
+    has_rope: bool,
+):
+    kj = pl.program_id(2)
+    k_off = kj * block_k
+    num_q_blocks = seq_len // block_q
+    if window is None:
+        q_lo, q_hi = 0, num_q_blocks
+    else:
+        q_lo = jnp.maximum(0, (k_off - window) // block_q)
+        q_hi = jnp.minimum(
+            num_q_blocks, (k_off + block_k - 1 + window) // block_q + 1
+        )
+
+    col_ids = (
+        jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + k_off
+    )
+    lanes = 2 * head_dim
+    if has_rope:
+        half_sign = jnp.concatenate(
+            [
+                jnp.full((1, head_dim // 2), -1.0, dtype=q_ref.dtype),
+                jnp.ones((1, head_dim // 2), dtype=q_ref.dtype),
+            ],
+            axis=-1,
+        )
+        cos_k = rope_ref[0, pl.ds(k_off, block_k), :]
+        sin_k = rope_ref[1, pl.ds(k_off, block_k), :]
+    if has_mask:
+        kmask_block = mask_ref[0, 0, pl.ds(k_off, block_k)]
+
+    def pair_body(p, _):
+        k_pair = k_ref[0, :, pl.ds(p * lanes, lanes)]
+        v_pair = v_ref[0, :, pl.ds(p * lanes, lanes)]
+        ks, vs = [], []
+        for sub in range(2):
+            k = k_pair[:, sub * head_dim:(sub + 1) * head_dim]
+            if has_rope:
+                k = k * cos_k + _rotate_half_block(k, half_sign) * sin_k
+            ks.append(k)
+            vs.append(v_pair[:, sub * head_dim:(sub + 1) * head_dim])
+
+        def body(qi, carry):
+            dk0, dv0, dk1, dv1 = carry
+            q_off = qi * block_q
+            q_pair = q_ref[0, pl.ds(q_off, block_q), pl.ds(p * lanes, lanes)]
+            do_pair = do_ref[0, pl.ds(q_off, block_q), pl.ds(p * lanes, lanes)]
+            if has_rope:
+                cos_q = rope_ref[0, pl.ds(q_off, block_q), :]
+                sin_q = rope_ref[1, pl.ds(q_off, block_q), :]
+            row_ids = (
+                jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) + q_off
+            )
+            outs = []
+            for sub, (dk_acc, dv_acc) in ((0, (dk0, dv0)), (1, (dk1, dv1))):
+                q = q_pair[:, sub * head_dim:(sub + 1) * head_dim]
+                if has_rope:
+                    q = q * cos_q + _rotate_half_block(q, half_sign) * sin_q
+                do = do_pair[:, sub * head_dim:(sub + 1) * head_dim]
+                lse = lse_ref[0, 2 * p + sub, pl.ds(q_off, block_q)]  # [bq, 1]
+                delta = delta_ref[0, 2 * p + sub, pl.ds(q_off, block_q)]
+                s = jax.lax.dot_general(
+                    q, ks[sub], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * scale
+                if window is not None:
+                    s = jnp.where(jnp.abs(row_ids - col_ids) <= window, s, _NEG_INF)
+                if has_mask:
+                    s = jnp.where((kmask_block > 0)[None, :], s, _NEG_INF)
+                p_mat = jnp.exp(s - lse)
+                dv_new = dv_acc + jax.lax.dot_general(
+                    p_mat.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                dp = jax.lax.dot_general(
+                    do, vs[sub], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                ds = p_mat * (dp - delta)
+                dk_new = dk_acc + jax.lax.dot_general(
+                    ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                outs.extend((dk_new, dv_new))
+            return tuple(outs)
+
+        zeros = jnp.zeros((block_k, head_dim), dtype=jnp.float32)
+        dk0, dv0, dk1, dv1 = jax.lax.fori_loop(
+            q_lo, q_hi, body, (zeros, zeros, zeros, zeros)
+        )
+        dk_halves, dv_halves = [], []
+        for sub, (dk_acc, dv_acc) in ((0, (dk0, dv0)), (1, (dk1, dv1))):
+            dk_rot = dk_acc * scale
+            if has_rope:
+                dk_rot = _rope_adjoint(
+                    dk_rot.astype(k_ref.dtype), cos_k, sin_k, half_sign
+                )
+            dk_halves.append(dk_rot.astype(dk_ref.dtype))
+            dv_halves.append(dv_acc.astype(dv_ref.dtype))
+        dk_ref[0, :, pl.ds(p * lanes, lanes)] = jnp.concatenate(dk_halves, axis=-1)
+        dv_ref[0, :, pl.ds(p * lanes, lanes)] = jnp.concatenate(dv_halves, axis=-1)
+        return 0
+
+    jax.lax.fori_loop(0, h_block // 2, pair_body, 0)
+
+
+def _flash_backward_packed(
+    qkv, num_heads, mask_arr, rope, out, lse, g, window, block_q, block_k
+):
+    batch, seq_len, three_hd = qkv.shape
+    head_dim = three_hd // (3 * num_heads)
+    hidden = num_heads * head_dim
+    scale = head_dim**-0.5
+    has_mask = mask_arr is not None
+    mask_in = (
+        mask_arr.astype(jnp.int32).reshape(batch, 1, seq_len)
+        if has_mask
+        else jnp.ones((batch, 1, seq_len), dtype=jnp.int32)
+    )
+    has_rope = rope is not None
+    rope_in = (
+        rope.astype(qkv.dtype)
+        if has_rope
+        else jnp.zeros((2, seq_len, head_dim), dtype=qkv.dtype)
+    )
+    # delta: per-head rowwise (dO·O) — [B, H, S, 1] to match the LSE layout.
+    delta = (
+        (g.astype(jnp.float32) * out.astype(jnp.float32))
+        .reshape(batch, seq_len, num_heads, head_dim)
+        .sum(-1)
+        .transpose(0, 2, 1)[..., None]
+    )
+    g = g.astype(qkv.dtype)
+
+    h_block = _choose_h_block(
+        num_heads,
+        seq_len,
+        head_dim,
+        max(block_q, block_k),
+        jnp.dtype(qkv.dtype).itemsize,
+        row_tile_rows=2 * seq_len,
+        even_only=True,
+    )
+    statics = dict(
+        seq_len=seq_len,
+        block_q=block_q,
+        block_k=block_k,
+        h_block=h_block,
+        head_dim=head_dim,
+        window=window,
+        scale=scale,
+        has_mask=has_mask,
+        has_rope=has_rope,
+    )
+    groups = num_heads // h_block
+    lane_blk = h_block * head_dim
+    q_blk = pl.BlockSpec((1, block_q, lane_blk), lambda b, h, i: (b, i, h))
+    k_blk = pl.BlockSpec(
+        (1, block_k, lane_blk), lambda b, h, i: (b, i, groups + h)
+    )
+    v_blk = pl.BlockSpec(
+        (1, block_k, lane_blk), lambda b, h, i: (b, i, 2 * groups + h)
+    )
+    q_full = pl.BlockSpec((1, seq_len, lane_blk), lambda b, h, i: (b, 0, h))
+    k_full = pl.BlockSpec(
+        (1, seq_len, lane_blk), lambda b, h, i: (b, 0, groups + h)
+    )
+    v_full = pl.BlockSpec(
+        (1, seq_len, lane_blk), lambda b, h, i: (b, 0, 2 * groups + h)
+    )
+    g_blk = pl.BlockSpec((1, block_q, lane_blk), lambda b, h, i: (b, i, h))
+    g_full = pl.BlockSpec((1, seq_len, lane_blk), lambda b, h, i: (b, 0, h))
+    out_kv_blk = pl.BlockSpec((1, block_k, lane_blk), lambda b, h, i: (b, i, h))
+    qrow = pl.BlockSpec((1, h_block, block_q, 1), lambda b, h, i: (b, h, i, 0))
+    full_row = pl.BlockSpec((1, h_block, seq_len, 1), lambda b, h, i: (b, h, 0, 0))
+    mask_spec = pl.BlockSpec((1, 1, seq_len), lambda b, h, i: (b, 0, 0))
+    rope_spec = pl.BlockSpec((2, seq_len, head_dim), lambda b, h, i: (0, 0, 0))
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel_packed, **statics),
+        grid=(batch, groups, seq_len // block_q),
+        in_specs=[q_blk, k_full, v_full, g_blk, qrow, qrow, mask_spec, rope_spec],
+        out_specs=q_blk,
+        out_shape=jax.ShapeDtypeStruct((batch, seq_len, hidden), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+    )(qkv, qkv, qkv, g, lse, delta, mask_in, rope_in)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel_packed, **statics),
+        grid=(batch, groups, seq_len // block_k),
+        in_specs=[q_full, k_blk, v_blk, g_full, full_row, full_row, mask_spec,
+                  rope_spec],
+        out_specs=[out_kv_blk, out_kv_blk],
+        out_shape=[
+            jax.ShapeDtypeStruct((batch, seq_len, hidden), qkv.dtype),
+            jax.ShapeDtypeStruct((batch, seq_len, hidden), qkv.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+    )(qkv, qkv, qkv, g, lse, delta, mask_in, rope_in)
+    return jnp.concatenate([dq, dk, dv], axis=-1)
+
+
+def _xla_reference_packed(qkv, num_heads, mask_arr, rope, window):
+    """Unpacked XLA attention on a packed [B, S, 3·H·D] buffer (tests +
+    backward fallback)."""
+    batch, seq_len, three_hd = qkv.shape
+    head_dim = three_hd // (3 * num_heads)
+    qkv5 = qkv.reshape(batch, seq_len, 3, num_heads, head_dim)
+    q, k, v = (jnp.moveaxis(qkv5[:, :, i], 2, 1) for i in range(3))
+    out = _xla_reference(q, k, v, mask_arr, rope, window)
+    return jnp.moveaxis(out, 1, 2).reshape(batch, seq_len, num_heads * head_dim)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash_attention_packed_core(
+    qkv, mask_arr, rope, window, block_q, block_k, num_heads
+):
+    return _flash_forward_packed(
+        qkv, num_heads, mask_arr, rope, window, block_q, block_k
+    )
+
+
+def _flash_packed_fwd(qkv, mask_arr, rope, window, block_q, block_k, num_heads):
+    out, lse = _flash_forward_packed(
+        qkv, num_heads, mask_arr, rope, window, block_q, block_k, emit_lse=True
+    )
+    return out, (qkv, mask_arr, rope, out, lse)
+
+
+def _flash_packed_bwd(window, block_q, block_k, num_heads, residuals, g):
+    qkv, mask_arr, rope, out, lse = residuals
+    if os.environ.get("OPEN_PROVENCE_TPU_FLASH_BWD", "pallas") == "xla":
+        _, vjp = jax.vjp(
+            lambda qkv_: _xla_reference_packed(qkv_, num_heads, mask_arr, rope, window),
+            qkv,
+        )
+        (dqkv,) = vjp(g)
+    else:
+        dqkv = _flash_backward_packed(
+            qkv, num_heads, mask_arr, rope, out, lse, g, window, block_q, block_k
+        )
+    d_rope = None if rope is None else jnp.zeros_like(rope)
+    return dqkv, None, d_rope
+
+
+_flash_attention_packed_core.defvjp(_flash_packed_fwd, _flash_packed_bwd)
+
+
+def flash_attention_packed(
+    qkv: jnp.ndarray,
+    *,
+    num_heads: int,
+    padding_mask: jnp.ndarray | None,
+    window: int | None,
+    rope: tuple[jnp.ndarray, jnp.ndarray] | None = None,
+    block_q: int | None = None,
+    block_k: int | None = None,
+) -> jnp.ndarray:
+    """Flash attention straight on the fused Wqkv output [B, S, 3·H·D]
+    (HF lane order (qkv, head, dim)); returns [B, S, H·D] ready for Wo.
+
+    Skips the q/k/v unbind and both [B,S,H,D]↔[B,H,S,D] transposes of the
+    unpacked path. Requires 2·head_dim % 128 == 0 and even num_heads
+    (heads are processed in pairs: Mosaic only lowers 128-aligned dynamic
+    lane offsets)."""
+    batch, seq_len, three_hd = qkv.shape
+    if three_hd % (3 * num_heads) != 0:
+        raise ValueError(f"qkv last dim {three_hd} not divisible by 3·{num_heads}")
+    head_dim = three_hd // (3 * num_heads)
+    if block_q is None and block_k is None:
+        block_q, block_k = pick_block_sizes(seq_len, window)
+    block_q = int(block_q or DEFAULT_BLOCK_Q)
+    block_k = int(block_k or DEFAULT_BLOCK_K)
+    if seq_len % block_q != 0 or seq_len % block_k != 0:
+        raise ValueError(
+            f"flash_attention_packed requires S divisible by block sizes; got "
+            f"S={seq_len}, block_q={block_q}, block_k={block_k}"
+        )
+    if not pallas_packed_supported(batch, seq_len, num_heads, head_dim,
+                                   min(block_q, 128)):
+        raise ValueError(
+            f"packed kernel unsupported for B={batch} S={seq_len} "
+            f"H={num_heads} D={head_dim}"
+        )
+    mask_arr = None if padding_mask is None else padding_mask.astype(jnp.int32)
+    rope_arr = None
+    if rope is not None:
+        cos, sin = rope
+        rope_arr = jnp.stack([cos.astype(qkv.dtype), sin.astype(qkv.dtype)], axis=0)
+    return _flash_attention_packed_core(
+        qkv, mask_arr, rope_arr, window, block_q, block_k, num_heads
+    )

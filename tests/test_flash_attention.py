@@ -154,3 +154,78 @@ def test_flash_rejects_unaligned():
     q, k, v = _rand_qkv(seq=200)
     with pytest.raises(ValueError):
         flash_attention(q, k, v, padding_mask=None, window=None)
+
+
+def _rand_packed(batch=2, seq=256, heads=4, dim=64, seed=3, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.normal(size=(batch, seq, 3 * heads * dim)), dtype=dtype)
+
+
+@pytest.mark.parametrize("window", [None, 32])
+@pytest.mark.parametrize("padded", [False, True])
+def test_packed_matches_xla(window, padded):
+    """Packed-QKV kernel vs the unpacked XLA reference (opt-in TPU path)."""
+    from open_provence_tpu.ops.flash_attention import (
+        _xla_reference_packed,
+        flash_attention_packed,
+    )
+    from open_provence_tpu.ops.rotary import rope_tables
+
+    B, S, H, D = 2, 256, 4, 64
+    qkv = _rand_packed(B, S, H, D)
+    cos, sin = rope_tables(S, D, 10000.0)
+    rope_arr = jnp.stack([cos.astype(qkv.dtype), sin.astype(qkv.dtype)])
+    pm = None
+    if padded:
+        m = np.ones((B, S), np.int32)
+        m[0, 200:] = 0
+        pm = jnp.asarray(m)
+
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention_packed(
+            qkv, num_heads=H, padding_mask=pm, window=window, rope=(cos, sin)
+        )
+    ref = _xla_reference_packed(qkv, H, pm, rope_arr, window)
+    out_np, ref_np = np.asarray(out), np.asarray(ref)
+    if pm is not None:
+        valid = np.asarray(pm, bool)[:, :, None]
+        out_np, ref_np = out_np * valid, ref_np * valid
+    np.testing.assert_allclose(out_np, ref_np, atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("bwd_impl", ["pallas", "xla"])
+@pytest.mark.parametrize("padded", [False, True])
+def test_packed_gradient(bwd_impl, padded, monkeypatch):
+    monkeypatch.setenv("OPEN_PROVENCE_TPU_FLASH_BWD", bwd_impl)
+    from open_provence_tpu.ops.flash_attention import (
+        _xla_reference_packed,
+        flash_attention_packed,
+    )
+    from open_provence_tpu.ops.rotary import rope_tables
+
+    B, S, H, D = 2, 128, 4, 64
+    qkv = _rand_packed(B, S, H, D, seed=4)
+    cos, sin = rope_tables(S, D, 160000.0)
+    rope_arr = jnp.stack([cos.astype(qkv.dtype), sin.astype(qkv.dtype)])
+    pm = None
+    row_weight = 1.0
+    if padded:
+        m = np.ones((B, S), np.int32)
+        m[0, 100:] = 0
+        pm = jnp.asarray(m)
+        row_weight = pm[:, :, None].astype(jnp.float32)
+
+    def loss_flash(x):
+        out = flash_attention_packed(
+            x, num_heads=H, padding_mask=pm, window=16, rope=(cos, sin)
+        )
+        return ((out.astype(jnp.float32) * row_weight) ** 2).sum()
+
+    def loss_ref(x):
+        out = _xla_reference_packed(x, H, pm, rope_arr, 16)
+        return ((out.astype(jnp.float32) * row_weight) ** 2).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        g1 = jax.grad(loss_flash)(qkv)
+    g2 = jax.grad(loss_ref)(qkv)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4, rtol=1e-4)
