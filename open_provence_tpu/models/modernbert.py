@@ -34,6 +34,7 @@ from ..configs import ModernBertBackboneConfig
 from ..ops.attention import multi_head_attention, use_packed_flash
 from ..ops.flash_attention import flash_attention_packed
 from ..ops.layer_norm import (
+    fused_add_layer_norm,
     fused_layer_norm,
     layer_norm_reference,
     pallas_layer_norm_supported,
@@ -56,7 +57,13 @@ class BackboneLayerNorm(nn.Module):
     use_bias: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, residual: jnp.ndarray | None = None
+    ) -> jnp.ndarray | tuple[jnp.ndarray, jnp.ndarray]:
+        """Without ``residual``: LayerNorm(x). With it: fuses the preceding
+        residual add — returns ``(residual + x, LN(residual + x))`` in one
+        HBM pass (XLA keeps the add as a standalone ~0.2 ms fusion once LN
+        lives in Pallas)."""
         import os
 
         from ..ops.attention import _default_platform
@@ -68,13 +75,25 @@ class BackboneLayerNorm(nn.Module):
             if self.use_bias
             else None
         )
-        if (
+        use_fused = (
             bias is None
             and _default_platform() == "tpu"
             and pallas_layer_norm_supported(x.shape)
             and x.dtype in (jnp.bfloat16, jnp.float32)
             and os.environ.get("OPEN_PROVENCE_TPU_FUSED_LN", "1") != "0"
-        ):
+        )
+        if residual is not None:
+            # Fusing the residual add into the LN kernel measured ~1.5%
+            # SLOWER in-model (666 vs 676 pairs/s at B=32, S=512): the
+            # two-output kernel displaces XLA's own scheduling around the
+            # adds. Kept as an opt-in for re-evaluation on newer Mosaic.
+            if use_fused and os.environ.get("OPEN_PROVENCE_TPU_ADD_LN") == "1":
+                return fused_add_layer_norm(residual, x, scale, self.epsilon)
+            h = residual + x
+            if use_fused:
+                return h, fused_layer_norm(h, scale, self.epsilon)
+            return h, layer_norm_reference(h, scale, bias, self.epsilon)
+        if use_fused:
             return fused_layer_norm(x, scale, self.epsilon)
         return layer_norm_reference(x, scale, bias, self.epsilon)
 
@@ -206,15 +225,16 @@ class ModernBertEncoderLayer(nn.Module):
             attn_in = BackboneLayerNorm(
                 epsilon=cfg.norm_eps, use_bias=cfg.norm_bias, name="attn_norm"
             )(x)
-        x = x + ModernBertAttention(cfg, self.layer_id, name="attn")(
+        attn_out = ModernBertAttention(cfg, self.layer_id, name="attn")(
             attn_in,
             padding_mask,
             deterministic=deterministic,
             attention_impl=attention_impl,
         )
-        mlp_in = BackboneLayerNorm(
+        # The attention residual add is fused into mlp_norm's kernel.
+        x, mlp_in = BackboneLayerNorm(
             epsilon=cfg.norm_eps, use_bias=cfg.norm_bias, name="mlp_norm"
-        )(x)
+        )(attn_out, residual=x)
         x = x + ModernBertMLP(cfg, name="mlp")(mlp_in, deterministic=deterministic)
         return x
 

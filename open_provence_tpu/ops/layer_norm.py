@@ -119,3 +119,77 @@ def layer_norm_reference(
     if bias is not None:
         y = y + bias.astype(stat_dtype)
     return y.astype(x.dtype)
+
+
+# --- fused residual-add + LayerNorm ---------------------------------------
+#
+# ModernBERT layers compute h = x + sub(x); LN(h). XLA keeps the residual
+# add as a standalone fusion once LN moved into Pallas (~0.2 ms per add at
+# B=32, S=512); reading both operands in the LN kernel and emitting (h,
+# normed) removes that pass entirely.
+
+
+def _add_ln_kernel(x_ref, y_ref, w_ref, h_ref, o_ref, *, eps: float):
+    h32 = x_ref[...].astype(jnp.float32) + y_ref[...].astype(jnp.float32)
+    h_ref[...] = h32.astype(h_ref.dtype)
+    # Normalize the ROUNDED sum (parity with the unfused bf16 add + LN).
+    x = h_ref[...].astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    mean2 = jnp.mean(x * x, axis=-1, keepdims=True)
+    var = jnp.maximum(mean2 - mean * mean, 0.0)
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    o_ref[...] = (y * w_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _add_ln_forward(x2d, y2d, scale, eps):
+    rows, hidden = x2d.shape
+    row_block = _ROW_BLOCK if rows % _ROW_BLOCK == 0 else rows
+    return pl.pallas_call(
+        functools.partial(_add_ln_kernel, eps=eps),
+        grid=(rows // row_block,),
+        in_specs=[
+            pl.BlockSpec((row_block, hidden), lambda i: (i, 0)),
+            pl.BlockSpec((row_block, hidden), lambda i: (i, 0)),
+            pl.BlockSpec((1, hidden), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((row_block, hidden), lambda i: (i, 0)),
+            pl.BlockSpec((row_block, hidden), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, hidden), x2d.dtype),
+            jax.ShapeDtypeStruct((rows, hidden), x2d.dtype),
+        ],
+    )(x2d, y2d, scale.reshape(1, hidden))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _add_ln_core(x2d, y2d, scale, eps):
+    return _add_ln_forward(x2d, y2d, scale, eps)
+
+
+def _add_ln_fwd(x2d, y2d, scale, eps):
+    h, normed = _add_ln_forward(x2d, y2d, scale, eps)
+    return (h, normed), (h, scale)
+
+
+def _add_ln_bwd(eps, residuals, gs):
+    h2d, scale = residuals
+    gh, gn = gs  # cotangents of (h, normed)
+    dxn, dscale = _ln_bwd(eps, (h2d, scale), gn)
+    dh = (dxn.astype(jnp.float32) + gh.astype(jnp.float32)).astype(h2d.dtype)
+    return dh, dh, dscale
+
+
+_add_ln_core.defvjp(_add_ln_fwd, _add_ln_bwd)
+
+
+def fused_add_layer_norm(
+    x: jnp.ndarray, y: jnp.ndarray, scale: jnp.ndarray, eps: float = 1e-5
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (x + y, LayerNorm(x + y)) in one HBM pass."""
+    hidden = x.shape[-1]
+    h, normed = _add_ln_core(
+        x.reshape(-1, hidden), y.reshape(-1, hidden), scale, eps
+    )
+    return h.reshape(x.shape), normed.reshape(x.shape)
