@@ -214,11 +214,13 @@ def test_golden_dataset_ops():
 
     ds = _toy_dataset()
     ours = filter_pruning_dataset(ds, 2, num_proc=None)
-    theirs = ref_trainer.filter_pruning_dataset(ds, 2, num_proc=1)
+    # num_proc=None on both sides: datasets forks a worker even at num_proc=1,
+    # and os.fork() under an initialized (multithreaded) JAX risks deadlock.
+    theirs = ref_trainer.filter_pruning_dataset(ds, 2, num_proc=None)
     assert ours.to_dict() == theirs.to_dict()
 
     ours = sample_items_by_label_priority(ds, 2, seed=13, num_proc=None)
-    theirs = ref_trainer.sample_items_by_label_priority(ds, 2, seed=13, num_proc=1)
+    theirs = ref_trainer.sample_items_by_label_priority(ds, 2, seed=13, num_proc=None)
     assert ours.to_dict() == theirs.to_dict()
 
     ours = upsample_dataset(ds, 2.4, seed=7)
