@@ -468,10 +468,19 @@ async def evaluate_batch(
     return await asyncio.gather(*(_run(r) for r in records))
 
 
+# The reference's ignore-list YAML keys languages "en"/"jp" (its --lang CLI
+# choices, reference scripts/eval_mldr.py:1459-1463) while the MLDR dataset
+# itself uses "ja". Our CLI takes a single MLDR-style --lang, so accept both
+# spellings when looking up the Japanese section.
+_IGNORE_LANG_ALIASES = {"ja": "jp", "jp": "ja"}
+
+
 def load_ignore_list(path: Path, lang: str) -> dict[str, str]:
     """qid → reason mapping per language (reference :835-846)."""
     data = yaml.safe_load(path.read_text(encoding="utf-8")) or {}
-    entries = data.get(lang, []) or []
+    entries = (
+        data.get(lang) or data.get(_IGNORE_LANG_ALIASES.get(lang, "")) or []
+    )
     mapping: dict[str, str] = {}
     for entry in entries:
         qid = entry.get("qid")

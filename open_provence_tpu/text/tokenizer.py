@@ -14,7 +14,7 @@ behaviors:
 
 from __future__ import annotations
 
-from collections.abc import Mapping, Sequence
+from collections.abc import Sequence
 from typing import Any
 
 from .fragmentation import FragmentRecord

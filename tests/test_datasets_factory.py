@@ -3,7 +3,6 @@ functions), span-relevance labeling with injected annotator + shard cache,
 teacher scoring, frequency filtering, and the converter CLI subprocess run
 (mirroring the reference's subprocess CLI test, SURVEY §4)."""
 
-import json
 import subprocess
 import sys
 from pathlib import Path

@@ -155,6 +155,36 @@ def test_load_ignore_list(tmp_path):
     assert load_ignore_list(path, "ja") == {}
 
 
+def test_load_ignore_list_jp_alias(tmp_path):
+    # The reference YAML keys Japanese as "jp" (its --lang choice) while the
+    # MLDR dataset language code is "ja" — both must resolve.
+    path = tmp_path / "ig.yaml"
+    path.write_text("en: []\njp:\n- qid: q-ja-7\n  reason: oversize\n")
+    assert load_ignore_list(path, "ja") == {"q-ja-7": "oversize"}
+    assert load_ignore_list(path, "jp") == {"q-ja-7": "oversize"}
+
+
+def test_shipped_ignore_list_matches_reference():
+    """The shipped ignore list must drop exactly the reference's flagged qids
+    (SURVEY §7: Has Answer comparability requires ignore-list identity)."""
+    shipped = Path(__file__).resolve().parents[1] / "scripts" / "eval_mldr" / "ignored_questions.yaml"
+    en = load_ignore_list(shipped, "en")
+    ja = load_ignore_list(shipped, "ja")
+    assert len(en) == 26 and all(q.startswith("q-en-") for q in en)
+    assert len(ja) == 34 and all(q.startswith("q-ja-") for q in ja)
+
+    reference = Path("/root/reference/scripts/eval_mldr/ignored_questions.yaml")
+    if reference.exists():
+        assert en == load_ignore_list(reference, "en")
+        assert ja == load_ignore_list(reference, "jp")
+
+    records = [{"query_id": qid, "label": 1, "pruned_text": "t"} for qid in en]
+    records.append({"query_id": "q-en-keep", "label": 1, "pruned_text": "t"})
+    filtered, skipped = filter_records_for_judging(records, ignore_map=en)
+    assert [r["query_id"] for r in filtered] == ["q-en-keep"]
+    assert {s["query_id"] for s in skipped} == set(en)
+
+
 def test_judge_records_with_fake_judge():
     async def fake_judge(prompt, config):
         if "sushi" in prompt:

@@ -2,7 +2,6 @@
 implementations and the Python fallbacks."""
 
 import numpy as np
-import pytest
 
 from open_provence_tpu import native
 

@@ -7,8 +7,6 @@ manual injection, and block inputs stay consistent either way."""
 import sys
 from pathlib import Path
 
-import pytest
-
 REPO_ROOT = Path(__file__).resolve().parent.parent
 
 
