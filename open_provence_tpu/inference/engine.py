@@ -20,7 +20,6 @@ postprocess (SURVEY §3.2).
 from __future__ import annotations
 
 import logging
-import os
 from collections.abc import Callable, Mapping, Sequence
 from pathlib import Path
 from time import perf_counter
@@ -674,11 +673,14 @@ class OpenProvenceModel:
         Full argument semantics match the reference's ``process()``
         (standalone:3314-3406): see that docstring for the contract.
         ``preprocess_workers`` selects thread-parallel fragmentation (fast
-        tokenizers release the GIL); ``preprocess_batch_size`` /
-        ``torch_dataloader_kwargs`` are accepted for drop-in compatibility
-        but unused (there is no torch DataLoader here).
+        tokenizers release the GIL); left unset, workers and the map chunk
+        size are auto-tuned from the job count and device memory with the
+        reference's heuristics (standalone:2567-2623 — see
+        preprocess_tuning.py). ``preprocess_batch_size`` pins the per-worker
+        chunk; ``torch_dataloader_kwargs`` is accepted for drop-in
+        compatibility but unused (there is no torch DataLoader here).
         """
-        del preprocess_batch_size, torch_dataloader_kwargs, enable_warnings
+        del torch_dataloader_kwargs, enable_warnings
         batch_size = max(1, batch_size)
         threshold = self._resolve_process_threshold(threshold)
         start_total = perf_counter()
@@ -720,20 +722,31 @@ class OpenProvenceModel:
                 respect_sentence_boundaries=respect_sentence_boundaries,
             )
 
-        # Optional thread-parallel fragmentation (the reference uses
-        # DataLoader worker processes, standalone:3510-3651; HF fast
-        # tokenizers release the GIL so threads suffice here). Honors the
-        # OPEN_PROVENCE_PREPROCESS_WORKERS env override (standalone:2525).
-        workers = preprocess_workers
-        if workers is None:
-            env_workers = os.environ.get("OPEN_PROVENCE_PREPROCESS_WORKERS")
-            if env_workers and env_workers.isdigit():
-                workers = int(env_workers)
-        if workers and workers > 0 and len(preprocess_jobs) > 1:
+        # Thread-parallel fragmentation (the reference uses DataLoader worker
+        # processes, standalone:3510-3651; HF fast tokenizers release the GIL
+        # so threads suffice here). Worker count and map chunk size are
+        # auto-tuned with the reference's heuristics unless pinned by
+        # argument or OPEN_PROVENCE_PREPROCESS_WORKERS (standalone:2525).
+        from .preprocess_tuning import (
+            auto_tune_preprocess_loader,
+            estimate_device_memory_bytes,
+            resolve_preprocess_workers,
+        )
+
+        workers, chunk_size, _prefetch = auto_tune_preprocess_loader(
+            total_jobs=len(preprocess_jobs),
+            inference_batch_size=batch_size,
+            current_workers=resolve_preprocess_workers(preprocess_workers),
+            current_preprocess_batch=preprocess_batch_size,
+            device_memory_bytes=estimate_device_memory_bytes(),
+        )
+        if workers > 0 and len(preprocess_jobs) > 1:
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(max_workers=workers) as pool:
-                entries = list(pool.map(_fragmentize, preprocess_jobs))
+                entries = list(
+                    pool.map(_fragmentize, preprocess_jobs, chunksize=chunk_size)
+                )
         else:
             entries = [_fragmentize(job) for job in preprocess_jobs]
 

@@ -108,21 +108,37 @@ def run_process(args) -> Path:
     else:
         if not args.model:
             raise SystemExit("--model is required unless --text-source original")
-        from open_provence_tpu.inference import OpenProvenceModel
+        from open_provence_tpu.eval.external_baselines import is_naver_provence_model
 
-        tokenizer = None
-        if args.tokenizer:
-            from transformers import AutoTokenizer
+        if is_naver_provence_model(args.model):
+            # Published torch baseline (reference eval_mldr.py:75-125) for
+            # apples-to-apples comparison rows; needs torch + network.
+            from open_provence_tpu.eval.external_baselines import (
+                load_naver_process_fn,
+            )
 
-            tokenizer = AutoTokenizer.from_pretrained(args.tokenizer)
-        model_dir = Path(args.model)
-        if (model_dir / "final_model").exists():
-            model_dir = model_dir / "final_model"
-        model = OpenProvenceModel.from_pretrained(
-            model_dir, tokenizer=tokenizer, max_length=args.max_length
-        )
+            process_fn, _model = load_naver_process_fn(
+                args.model,
+                max_length=args.max_length,
+                disable_progress=args.no_progress,
+            )
+        else:
+            from open_provence_tpu.inference import OpenProvenceModel
+
+            tokenizer = None
+            if args.tokenizer:
+                from transformers import AutoTokenizer
+
+                tokenizer = AutoTokenizer.from_pretrained(args.tokenizer)
+            model_dir = Path(args.model)
+            if (model_dir / "final_model").exists():
+                model_dir = model_dir / "final_model"
+            model = OpenProvenceModel.from_pretrained(
+                model_dir, tokenizer=tokenizer, max_length=args.max_length
+            )
+            process_fn = model.process
         records, stats, num_queries = build_records(
-            model.process,
+            process_fn,
             dataset,
             threshold=args.threshold,
             batch_size=args.batch_size,

@@ -293,3 +293,107 @@ def test_mldr_cli_end_to_end(tmp_path, monkeypatch):
         ]
     )
     assert rc == 0
+
+
+# --- naver-provence external baseline adapter --------------------------------
+
+
+def test_naver_detection_regex():
+    from open_provence_tpu.eval.external_baselines import is_naver_provence_model
+
+    assert is_naver_provence_model(
+        "naver/provence-reranker-debertav3-v1", is_local=False
+    )
+    assert is_naver_provence_model("NAVER/Provence-XL", is_local=False)
+    assert not is_naver_provence_model("naver/splade-v3", is_local=False)
+    assert not is_naver_provence_model("my/provence-clone", is_local=False)
+    # local checkpoints never route to the baseline adapter
+    assert not is_naver_provence_model(
+        "naver/provence-reranker-debertav3-v1", is_local=True
+    )
+    assert not is_naver_provence_model(str(Path(__file__).parent))
+
+
+def test_naver_adapter_with_fake_model():
+    torch = pytest.importorskip("torch")
+
+    from open_provence_tpu.eval.external_baselines import (
+        load_naver_process_fn,
+        prepare_naver_provence_model,
+    )
+
+    class FakeConfig:
+        max_position_embeddings = 512
+
+    class FakeNaver:
+        def __init__(self):
+            self.config = FakeConfig()
+            self.max_len = 512
+            self.eval_called = False
+
+        def forward(self, *args, **kwargs):
+            return {
+                "ranking_scores": torch.ones(2, dtype=torch.bfloat16),
+                "compression_logits": torch.zeros(2, 3, dtype=torch.bfloat16),
+                "other": "untouched",
+            }
+
+        def eval(self):
+            self.eval_called = True
+            return self
+
+        def to(self, device):
+            return self
+
+        def process(self, question, context, **kwargs):
+            out = self.forward()
+            return {
+                "pruned_context": context,
+                "reranking_score": float(out["ranking_scores"][0]),
+            }
+
+    model = FakeNaver()
+    process_fn = prepare_naver_provence_model(model, max_length=1024)
+    # max_length propagated to both attributes (reference :107-111)
+    assert model.max_len == 1024
+    assert model.config.max_position_embeddings == 1024
+    # forward wrapper upcasts bf16 outputs to fp32 and leaves others alone
+    out = model.forward()
+    assert out["ranking_scores"].dtype == torch.float32
+    assert out["compression_logits"].dtype == torch.float32
+    assert out["other"] == "untouched"
+    result = process_fn("q?", "ctx")
+    assert result["pruned_context"] == "ctx"
+
+    class FakeAutoModel:
+        last_kwargs = None
+
+        @classmethod
+        def from_pretrained(cls, ident, **kwargs):
+            cls.last_kwargs = (ident, kwargs)
+            return FakeNaver()
+
+    fn, loaded = load_naver_process_fn(
+        "naver/provence-reranker-debertav3-v1",
+        max_length=2048,
+        auto_model_cls=FakeAutoModel,
+    )
+    assert loaded.eval_called
+    assert loaded.max_len == 2048
+    assert FakeAutoModel.last_kwargs[0] == "naver/provence-reranker-debertav3-v1"
+    assert FakeAutoModel.last_kwargs[1]["trust_remote_code"] is True
+    assert fn("q?", "ctx")["pruned_context"] == "ctx"
+
+
+def test_naver_adapter_requires_process():
+    pytest.importorskip("torch")
+    from open_provence_tpu.eval.external_baselines import (
+        prepare_naver_provence_model,
+    )
+
+    class NoProcess:
+        def forward(self, *a, **k):
+            return {}
+
+    with pytest.raises(AttributeError, match="process"):
+        prepare_naver_provence_model(NoProcess())

@@ -249,6 +249,82 @@ def test_mean_pooling_parity():
     np.testing.assert_allclose(logits, hf_logits, atol=1e-5, rtol=1e-5)
 
 
+def test_long_context_parity_crossing_window_boundary():
+    """S=1024 ≫ local_attention=128 with max_position_embeddings=8192: the
+    sliding-window band (±64) and the dual-theta rope tables past position
+    512 must match HF eager — the semantics the 8192-token opportunity
+    (SURVEY §5.7) rests on, exercised beyond kernel unit tests."""
+    long_cfg = {
+        **TINY,
+        "max_position_embeddings": 8192,
+        "local_attention": 128,
+        "num_hidden_layers": 4,  # layers 0,3 global / 1,2 local
+    }
+    cfg = transformers.ModernBertConfig(
+        **long_cfg,
+        classifier_pooling="cls",
+        attn_implementation="eager",
+        reference_compile=False,
+    )
+    torch.manual_seed(0)
+    hf_model = transformers.ModernBertForSequenceClassification(cfg).double().eval()
+    torch.manual_seed(1)
+    pruning_head = TorchPruningHead(TINY["hidden_size"]).double().eval()
+
+    backbone = ModernBertBackboneConfig(**long_cfg)
+    config = OpenProvenceConfig(
+        base_model_config=backbone.to_dict(),
+        num_labels=1,
+        pruning_config={"hidden_size": TINY["hidden_size"], "classifier_dropout": 0.0},
+        max_length=8192,
+    )
+    module = OpenProvenceModule(
+        backbone_config=config.backbone(), pruning_config=config.pruning_head()
+    )
+
+    rng = np.random.default_rng(11)
+    batch, seq = 1, 1024
+    input_ids = rng.integers(3, TINY["vocab_size"], size=(batch, seq))
+    attention_mask = np.ones((batch, seq), dtype=np.int64)
+
+    with torch.no_grad():
+        hf_out = hf_model(
+            input_ids=torch.tensor(input_ids),
+            attention_mask=torch.tensor(attention_mask),
+            output_hidden_states=True,
+        )
+        hf_pre_norm = hf_out.hidden_states[-1]
+        hf_pruning = pruning_head(hf_pre_norm)
+
+    with enable_x64():
+        sd64 = {
+            k: v.detach().numpy().astype(np.float64)
+            for k, v in _merged_state_dict(hf_model, pruning_head).items()
+        }
+        params = hf_to_flax_params(sd64, config)
+        params = jax.tree.map(lambda x: jnp.asarray(x, dtype=jnp.float64), params)
+        out = module.apply(
+            {"params": params},
+            jnp.asarray(input_ids),
+            jnp.asarray(attention_mask),
+            deterministic=True,
+            attention_impl="xla",
+        )
+
+    np.testing.assert_allclose(
+        np.asarray(out["ranking_logits"]), hf_out.logits.numpy(), atol=1e-5, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["last_hidden_pre_norm"]),
+        hf_pre_norm.numpy(),
+        atol=1e-5,
+        rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["pruning_logits"]), hf_pruning.numpy(), atol=1e-5, rtol=1e-5
+    )
+
+
 def test_roundtrip_export():
     hf_model, _ = _build_hf_model()
     torch.manual_seed(1)
