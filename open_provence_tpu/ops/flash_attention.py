@@ -78,6 +78,88 @@ def _rotate_half_block(x, sign):
     return rolled.astype(x.dtype) * sign
 
 
+def _rot_half_matrix(head_dim: int, dtype):
+    """[D, D] constant P with ``x @ P == rotate_half(x) == concat(-x2, x1)``.
+
+    Moves the rotate-half lane shuffle onto the MXU: the fp32 lane-roll
+    round-trip (`_rotate_half_block`) measured ~30% of packed-kernel time at
+    B=32, S=512 (0.25 ms/layer of 0.83), while the permutation matmul is
+    ~2M MACs per [512, 64] apply — noise on an otherwise idle MXU. Every
+    output column is exactly ±one input element, so the matmul is exact in
+    any accumulation dtype."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (head_dim, head_dim), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (head_dim, head_dim), 1)
+    half = head_dim // 2
+    plus = (col == row + half).astype(dtype)   # y2 =  x1
+    minus = (row == col + half).astype(dtype)  # y1 = -x2
+    return plus - minus
+
+
+def _rot_half_matrix_pair(head_dim: int, dtype):
+    """Block-diagonal [2D, 2D] rotate-half matrix: applies `_rot_half_matrix`
+    independently to each head of a lane pair, so rope runs on full
+    128-lane [bq, 2D] tiles (half-width [bq, D] VPU ops waste half the
+    lanes — pair-level rope measured ~2x cheaper)."""
+    dim = 2 * head_dim
+    row = jax.lax.broadcasted_iota(jnp.int32, (dim, dim), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (dim, dim), 1)
+    same = (row // head_dim) == (col // head_dim)
+    r_in = row % head_dim
+    c_in = col % head_dim
+    half = head_dim // 2
+    plus = (same & (c_in == r_in + half)).astype(dtype)
+    minus = (same & (r_in == c_in + half)).astype(dtype)
+    return plus - minus
+
+
+def _band_bias_table(seq_len, block_q, block_k, window):
+    """Precomputed additive window bias, block-Toeplitz-compressed.
+
+    The [bq, bk] band bias for grid cell (qi, kj) depends only on
+    ``o = qi*block_q - kj*block_k``, so one tiny [n_off, bq, bk] fp32 table
+    covers every program — built once in XLA and kept in VMEM, replacing the
+    in-kernel iota/compare/where construction (measured ~0.19 ms/layer at
+    B=32, S=512). Returns (table, min_off, stride)."""
+    n_q = seq_len // block_q
+    n_k = seq_len // block_k
+    offs = set()
+    for qi in range(n_q):
+        q_start = qi * block_q
+        q_end = q_start + block_q - 1
+        k_lo = max(0, (q_start - window) // block_k)
+        k_hi = min(n_k, (q_end + window) // block_k + 1)
+        for kj in range(k_lo, k_hi):
+            offs.add(qi * block_q - kj * block_k)
+    stride = math.gcd(block_q, block_k)
+    min_off, max_off = min(offs), max(offs)
+    n_off = (max_off - min_off) // stride + 1
+    t = jax.lax.broadcasted_iota(jnp.int32, (n_off, block_q, block_k), 0)
+    r = jax.lax.broadcasted_iota(jnp.int32, (n_off, block_q, block_k), 1)
+    c = jax.lax.broadcasted_iota(jnp.int32, (n_off, block_q, block_k), 2)
+    o = min_off + t * stride
+    valid = jnp.abs(r + o - c) <= window
+    return jnp.where(valid, 0.0, _NEG_INF), min_off, stride
+
+
+def _apply_rope_mx(x, cos, sin, rot_p):
+    """x·cos + rotate_half(x)·sin with the rotation as an MXU matmul.
+
+    Mosaic requires 32-bit matmul accumulation; the downcast is lossless
+    because each output element is exactly ±one bf16 input."""
+    rot = jax.lax.dot_general(
+        x, rot_p, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+    return x * cos + rot * sin
+
+
+def _rope_adjoint_mx(g, cos, sin, rot_p):
+    """Adjoint of ``_apply_rope_mx``: g·cos − rotate_half(g·sin)."""
+    rot = jax.lax.dot_general(
+        g * sin, rot_p, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(g.dtype)
+    return g * cos - rot
+
+
 def _flash_kernel(
     q_ref,  # [1, h_block, block_q, D]
     k_ref,  # [1, h_block, S, D]
@@ -320,6 +402,10 @@ def _flash_forward(
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
+            # The rope-as-matmul rewrite grew the per-head fp32 stack past the
+            # 16 MB default scoped-vmem limit at h_block=6; v5e has 128 MB of
+            # VMEM, so a 32 MB scope is comfortably safe.
+            vmem_limit_bytes=32 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * batch * num_heads * seq_len * seq_len * head_dim,
@@ -624,6 +710,10 @@ def _flash_backward(q, k, v, mask_arr, rope, out, lse, g, window, block_q, block
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
+            # The rope-as-matmul rewrite grew the per-head fp32 stack past the
+            # 16 MB default scoped-vmem limit at h_block=6; v5e has 128 MB of
+            # VMEM, so a 32 MB scope is comfortably safe.
+            vmem_limit_bytes=32 * 1024 * 1024,
         ),
     )(q, k, v, g, lse, delta, mask_in, rope_in)
 
@@ -639,6 +729,10 @@ def _flash_backward(q, k, v, mask_arr, rope, out, lse, g, window, block_q, block
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
+            # The rope-as-matmul rewrite grew the per-head fp32 stack past the
+            # 16 MB default scoped-vmem limit at h_block=6; v5e has 128 MB of
+            # VMEM, so a 32 MB scope is comfortably safe.
+            vmem_limit_bytes=32 * 1024 * 1024,
         ),
     )(q, k, v, g, lse, delta, mask_in, rope_in)
     return dq, dk, dv
@@ -740,8 +834,7 @@ def _flash_kernel_packed(
     v_ref,  # [1, S, h_block·D] — v lane region
     mask_ref,  # [1, 1, S] int32 (1 = valid)
     rope_ref,  # [2, S, D] cos/sin
-    o_ref,  # [1, block_q, h_block·D]
-    *maybe_lse,  # optional lse_ref [1, h_block, block_q, 1] fp32 (training)
+    *tail,  # [band_ref?], o_ref, [lse_ref?] — band present iff window
     seq_len: int,
     block_q: int,
     block_k: int,
@@ -751,8 +844,13 @@ def _flash_kernel_packed(
     scale: float,
     has_mask: bool,
     has_rope: bool,
+    band_min_off: int = 0,
+    band_stride: int = 1,
 ):
-    lse_ref = maybe_lse[0] if maybe_lse else None
+    band_ref = tail[0] if window is not None else None
+    rest = tail[1:] if window is not None else tail
+    o_ref = rest[0]
+    lse_ref = rest[1] if len(rest) > 1 else None
     qi = pl.program_id(2)
     scale_is_pow2 = float(scale) != 0.0 and (
         abs(scale) == 2.0 ** round(math.log2(abs(scale)))
@@ -772,66 +870,64 @@ def _flash_kernel_packed(
     )
     lanes = 2 * head_dim
     if has_rope:
-        half_sign = jnp.concatenate(
-            [
-                jnp.full((1, head_dim // 2), -1.0, dtype=q_ref.dtype),
-                jnp.ones((1, head_dim // 2), dtype=q_ref.dtype),
-            ],
-            axis=-1,
-        )
+        rot_p2 = _rot_half_matrix_pair(head_dim, q_ref.dtype)
         cos_q = rope_ref[0, pl.ds(qi * block_q, block_q), :]
         sin_q = rope_ref[1, pl.ds(qi * block_q, block_q), :]
+        cos_q2 = jnp.concatenate([cos_q, cos_q], axis=-1)  # [bq, 2D]
+        sin_q2 = jnp.concatenate([sin_q, sin_q], axis=-1)
 
     # Loop order: k blocks OUTER (fori), heads INNER (static unroll). One
-    # additive bias [bq, bk] per k block replaces the per-head window/padding
-    # `where` chains — masking was measured at 0.9–1.4 ms/layer at B=32,
-    # S=512 (~40% of kernel time) when recomputed per head.
+    # additive bias per k block replaces the per-head window/padding `where`
+    # chains — masking was measured at 0.9–1.4 ms/layer at B=32, S=512
+    # (~40% of kernel time) when recomputed per head. Padding-only masks use
+    # a [1, bk] row bias (broadcast in `s + bias`): materializing the full
+    # [bq, bk] fp32 matrix cost ~0.19 ms/layer on global layers. Rope is
+    # applied per head PAIR on full 128-lane tiles with a block-diagonal
+    # rotation matmul (per-head half-width rope measured 0.23 ms/layer).
     num_pairs = h_block // 2
     qs = []
     for p in range(num_pairs):
         q_pair = q_ref[0, :, p * lanes:(p + 1) * lanes]  # [bq, 2D]
+        if has_rope:
+            q_pair = _apply_rope_mx(q_pair, cos_q2, sin_q2, rot_p2)
+        if scale_is_pow2:
+            q_pair = q_pair * jnp.asarray(scale, dtype=q_pair.dtype)
         for sub in range(2):
-            q = q_pair[:, sub * head_dim:(sub + 1) * head_dim]
-            if has_rope:
-                q = q * cos_q + _rotate_half_block(q, half_sign) * sin_q
-            if scale_is_pow2:
-                q = q * jnp.asarray(scale, dtype=q.dtype)
-            qs.append(q)
+            qs.append(q_pair[:, sub * head_dim:(sub + 1) * head_dim])
 
     def kj_body(kj, carry):
         k_off = kj * block_k
         bias = None
-        if window is not None or has_mask:
-            col_ids = (
-                jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + k_off
-            )
-            if window is not None:
-                valid = jnp.abs(row_ids - col_ids) <= window
-                if has_mask:
-                    kmask = mask_ref[0, 0, pl.ds(k_off, block_k)]
-                    valid = valid & (kmask > 0)[None, :]
-            else:
+        if window is not None:
+            t = (qi * block_q - kj * block_k - band_min_off) // band_stride
+            bias = band_ref[pl.ds(t, 1), :, :][0]  # [bq, bk] fp32, shared
+            if has_mask:
                 kmask = mask_ref[0, 0, pl.ds(k_off, block_k)]
-                valid = jnp.broadcast_to(
-                    (kmask > 0)[None, :], (block_q, block_k)
-                )
-            bias = jnp.where(valid, 0.0, _NEG_INF)  # [bq, bk] fp32, shared
+                krow = jnp.where(kmask > 0, 0.0, _NEG_INF)[None, :]
+                # Clamp: two stacked _NEG_INF adds overflow to -inf, and a
+                # fully -inf row would make exp(s - m) NaN.
+                bias = jnp.maximum(bias + krow, _NEG_INF)
+        elif has_mask:
+            kmask = mask_ref[0, 0, pl.ds(k_off, block_k)]
+            bias = jnp.where(kmask > 0, 0.0, _NEG_INF)[None, :]  # [1, bk]
 
         if has_rope:
             cos_k = rope_ref[0, pl.ds(k_off, block_k), :]
             sin_k = rope_ref[1, pl.ds(k_off, block_k), :]
+            cos_k2 = jnp.concatenate([cos_k, cos_k], axis=-1)
+            sin_k2 = jnp.concatenate([sin_k, sin_k], axis=-1)
 
         new_carry = []
         for p in range(num_pairs):
             k_pair = k_ref[0, pl.ds(k_off, block_k), p * lanes:(p + 1) * lanes]
             v_pair = v_ref[0, pl.ds(k_off, block_k), p * lanes:(p + 1) * lanes]
+            if has_rope:
+                k_pair = _apply_rope_mx(k_pair, cos_k2, sin_k2, rot_p2)
             for sub in range(2):
                 h = 2 * p + sub
                 m_prev, l_prev, acc_prev = carry[3 * h], carry[3 * h + 1], carry[3 * h + 2]
                 k = k_pair[:, sub * head_dim:(sub + 1) * head_dim]
                 v = v_pair[:, sub * head_dim:(sub + 1) * head_dim]
-                if has_rope:
-                    k = k * cos_k + _rotate_half_block(k, half_sign) * sin_k
                 s = jax.lax.dot_general(
                     qs[h], k, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -936,6 +1032,16 @@ def _flash_forward_packed(
         batch, seq_len, num_heads, head_dim, h_block, block_q
     )
     grid = (batch, num_heads // h_block, seq_len // block_q)
+    band_min_off, band_stride = 0, 1
+    band_inputs, band_specs = [], []
+    if window is not None:
+        band, band_min_off, band_stride = _band_bias_table(
+            seq_len, block_q, block_k, window
+        )
+        band_inputs = [band]
+        band_specs = [
+            pl.BlockSpec(band.shape, lambda b, h, i: (0, 0, 0))
+        ]
     kernel = functools.partial(
         _flash_kernel_packed,
         seq_len=seq_len,
@@ -947,6 +1053,8 @@ def _flash_forward_packed(
         scale=scale,
         has_mask=has_mask,
         has_rope=has_rope,
+        band_min_off=band_min_off,
+        band_stride=band_stride,
     )
     out_spec = pl.BlockSpec((1, block_q, lane_blk), lambda b, h, i: (b, i, h))
     lse_spec = pl.BlockSpec((1, h_block, block_q, 1), lambda b, h, i: (b, h, i, 0))
@@ -959,6 +1067,7 @@ def _flash_forward_packed(
             v_spec,
             pl.BlockSpec((1, 1, seq_len), lambda b, h, i: (b, 0, 0)),
             pl.BlockSpec((2, seq_len, head_dim), lambda b, h, i: (0, 0, 0)),
+            *band_specs,
         ],
         out_specs=([out_spec, lse_spec] if emit_lse else out_spec),
         out_shape=(
@@ -971,35 +1080,39 @@ def _flash_forward_packed(
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
+            # The rope-as-matmul rewrite grew the per-head fp32 stack past the
+            # 16 MB default scoped-vmem limit at h_block=6; v5e has 128 MB of
+            # VMEM, so a 32 MB scope is comfortably safe.
+            vmem_limit_bytes=32 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * batch * num_heads * seq_len * seq_len * head_dim,
             bytes_accessed=qkv.size * qkv.dtype.itemsize * 2,
             transcendentals=batch * num_heads * seq_len * seq_len,
         ),
-    )(qkv, qkv, qkv, mask_arr, rope_in)
+    )(qkv, qkv, qkv, mask_arr, rope_in, *band_inputs)
 
 
 def _band_bias(
     mask_ref, row_ids, k_off, block_q, block_k, window, has_mask
 ):
-    """Additive 0/−inf bias [bq, bk] shared by every head of a program —
-    replaces per-head window/padding `where` chains (measured ~40% of
-    kernel time when recomputed per head)."""
+    """Additive 0/−inf bias shared by every head of a program — replaces
+    per-head window/padding `where` chains (measured ~40% of kernel time when
+    recomputed per head). Padding-only masks return a [1, bk] row bias
+    (broadcast in ``s + bias``) instead of materializing [bq, bk]."""
     if window is None and not has_mask:
         return None
-    col_ids = (
-        jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + k_off
-    )
     if window is not None:
+        col_ids = (
+            jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + k_off
+        )
         valid = jnp.abs(row_ids - col_ids) <= window
         if has_mask:
             kmask = mask_ref[0, 0, pl.ds(k_off, block_k)]
             valid = valid & (kmask > 0)[None, :]
-    else:
-        kmask = mask_ref[0, 0, pl.ds(k_off, block_k)]
-        valid = jnp.broadcast_to((kmask > 0)[None, :], (block_q, block_k))
-    return jnp.where(valid, 0.0, _NEG_INF)
+        return jnp.where(valid, 0.0, _NEG_INF)
+    kmask = mask_ref[0, 0, pl.ds(k_off, block_k)]
+    return jnp.where(kmask > 0, 0.0, _NEG_INF)[None, :]
 
 
 def _bwd_dq_kernel_packed(
@@ -1038,13 +1151,7 @@ def _bwd_dq_kernel_packed(
     )
     lanes = 2 * head_dim
     if has_rope:
-        half_sign = jnp.concatenate(
-            [
-                jnp.full((1, head_dim // 2), -1.0, dtype=q_ref.dtype),
-                jnp.ones((1, head_dim // 2), dtype=q_ref.dtype),
-            ],
-            axis=-1,
-        )
+        rot_p = _rot_half_matrix(head_dim, q_ref.dtype)
         cos_q = rope_ref[0, pl.ds(qi * block_q, block_q), :]
         sin_q = rope_ref[1, pl.ds(qi * block_q, block_q), :]
 
@@ -1057,7 +1164,7 @@ def _bwd_dq_kernel_packed(
             h = 2 * p + sub
             q = q_pair[:, sub * head_dim:(sub + 1) * head_dim]
             if has_rope:
-                q = q * cos_q + _rotate_half_block(q, half_sign) * sin_q
+                q = _apply_rope_mx(q, cos_q, sin_q, rot_p)
             qs.append(q)
             dos.append(do_pair[:, sub * head_dim:(sub + 1) * head_dim])
             lses.append(lse_ref[0, h])  # [bq, 1] fp32
@@ -1080,7 +1187,7 @@ def _bwd_dq_kernel_packed(
                 k = k_pair[:, sub * head_dim:(sub + 1) * head_dim]
                 v = v_pair[:, sub * head_dim:(sub + 1) * head_dim]
                 if has_rope:
-                    k = k * cos_k + _rotate_half_block(k, half_sign) * sin_k
+                    k = _apply_rope_mx(k, cos_k, sin_k, rot_p)
                 s = jax.lax.dot_general(
                     qs[h], k, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -1108,8 +1215,8 @@ def _bwd_dq_kernel_packed(
         for sub in range(2):
             dq_rot = final[2 * p + sub] * scale
             if has_rope:
-                dq_rot = _rope_adjoint(
-                    dq_rot.astype(q_ref.dtype), cos_q, sin_q, half_sign
+                dq_rot = _rope_adjoint_mx(
+                    dq_rot.astype(q_ref.dtype), cos_q, sin_q, rot_p
                 )
             halves.append(dq_rot.astype(dq_ref.dtype))
         dq_ref[0, :, p * lanes:(p + 1) * lanes] = jnp.concatenate(halves, axis=-1)
@@ -1153,13 +1260,7 @@ def _bwd_dkv_kernel_packed(
     )
     lanes = 2 * head_dim
     if has_rope:
-        half_sign = jnp.concatenate(
-            [
-                jnp.full((1, head_dim // 2), -1.0, dtype=q_ref.dtype),
-                jnp.ones((1, head_dim // 2), dtype=q_ref.dtype),
-            ],
-            axis=-1,
-        )
+        rot_p = _rot_half_matrix(head_dim, q_ref.dtype)
         cos_k = rope_ref[0, pl.ds(k_off, block_k), :]
         sin_k = rope_ref[1, pl.ds(k_off, block_k), :]
     if has_mask:
@@ -1173,7 +1274,7 @@ def _bwd_dkv_kernel_packed(
         for sub in range(2):
             k = k_pair[:, sub * head_dim:(sub + 1) * head_dim]
             if has_rope:
-                k = k * cos_k + _rotate_half_block(k, half_sign) * sin_k
+                k = _apply_rope_mx(k, cos_k, sin_k, rot_p)
             ks.append(k)
             vs.append(v_pair[:, sub * head_dim:(sub + 1) * head_dim])
 
@@ -1184,16 +1285,13 @@ def _bwd_dkv_kernel_packed(
         )
         # Reuse the shared-bias builder: row/col roles mirrored via row_ids.
         bias = None
-        if window is not None or has_mask:
-            if window is not None:
-                valid = jnp.abs(row_ids - col_ids) <= window
-                if has_mask:
-                    valid = valid & (kmask_block > 0)[None, :]
-            else:
-                valid = jnp.broadcast_to(
-                    (kmask_block > 0)[None, :], (block_q, block_k)
-                )
+        if window is not None:
+            valid = jnp.abs(row_ids - col_ids) <= window
+            if has_mask:
+                valid = valid & (kmask_block > 0)[None, :]
             bias = jnp.where(valid, 0.0, _NEG_INF)
+        elif has_mask:
+            bias = jnp.where(kmask_block > 0, 0.0, _NEG_INF)[None, :]
         if has_rope:
             cos_q = rope_ref[0, pl.ds(q_off, block_q), :]
             sin_q = rope_ref[1, pl.ds(q_off, block_q), :]
@@ -1206,7 +1304,7 @@ def _bwd_dkv_kernel_packed(
                 dk_acc, dv_acc = carry[2 * h], carry[2 * h + 1]
                 q = q_pair[:, sub * head_dim:(sub + 1) * head_dim]
                 if has_rope:
-                    q = q * cos_q + _rotate_half_block(q, half_sign) * sin_q
+                    q = _apply_rope_mx(q, cos_q, sin_q, rot_p)
                 do = do_pair[:, sub * head_dim:(sub + 1) * head_dim]
                 lse = lse_ref[0, h, pl.ds(q_off, block_q)]  # [bq, 1]
                 delta = delta_ref[0, h, pl.ds(q_off, block_q)]
@@ -1241,8 +1339,8 @@ def _bwd_dkv_kernel_packed(
             h = 2 * p + sub
             dk_rot = final[2 * h] * scale
             if has_rope:
-                dk_rot = _rope_adjoint(
-                    dk_rot.astype(k_ref.dtype), cos_k, sin_k, half_sign
+                dk_rot = _rope_adjoint_mx(
+                    dk_rot.astype(k_ref.dtype), cos_k, sin_k, rot_p
                 )
             dk_halves.append(dk_rot.astype(dk_ref.dtype))
             dv_halves.append(final[2 * h + 1].astype(dv_ref.dtype))
@@ -1335,6 +1433,10 @@ def _flash_backward_packed(
         out_shape=jax.ShapeDtypeStruct((batch, seq_len, hidden), qkv.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
+            # The rope-as-matmul rewrite grew the per-head fp32 stack past the
+            # 16 MB default scoped-vmem limit at h_block=6; v5e has 128 MB of
+            # VMEM, so a 32 MB scope is comfortably safe.
+            vmem_limit_bytes=32 * 1024 * 1024,
         ),
     )(qkv, qkv, qkv, g, lse, delta, mask_in, rope_in)
 
@@ -1350,6 +1452,10 @@ def _flash_backward_packed(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
+            # The rope-as-matmul rewrite grew the per-head fp32 stack past the
+            # 16 MB default scoped-vmem limit at h_block=6; v5e has 128 MB of
+            # VMEM, so a 32 MB scope is comfortably safe.
+            vmem_limit_bytes=32 * 1024 * 1024,
         ),
     )(qkv, qkv, qkv, g, lse, delta, mask_in, rope_in)
     return jnp.concatenate([dq, dk, dv], axis=-1)
