@@ -229,3 +229,56 @@ def test_packed_gradient(bwd_impl, padded, monkeypatch):
         g1 = jax.grad(loss_flash)(qkv)
     g2 = jax.grad(loss_ref)(qkv)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4, rtol=1e-4)
+
+
+def test_packed_band_table_multi_offset():
+    """Sliding window with several k-blocks per q-block: exercises the
+    block-Toeplitz band-bias table (n_off > 1) and band skipping."""
+    from open_provence_tpu.ops.flash_attention import (
+        _band_bias_table,
+        _xla_reference_packed,
+        flash_attention_packed,
+    )
+    from open_provence_tpu.ops.rotary import rope_tables
+
+    B, S, H, D, W = 2, 512, 4, 64, 64
+    table, min_off, stride = _band_bias_table(S, 128, 128, W)
+    assert table.shape[0] > 1  # genuinely multi-offset
+    assert stride == 128
+
+    qkv = _rand_packed(B, S, H, D)
+    cos, sin = rope_tables(S, D, 10000.0)
+    rope_arr = jnp.stack([cos.astype(qkv.dtype), sin.astype(qkv.dtype)])
+    m = np.ones((B, S), np.int32)
+    m[0, 400:] = 0
+    pm = jnp.asarray(m)
+
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention_packed(
+            qkv, num_heads=H, padding_mask=pm, window=W, rope=(cos, sin),
+            block_q=128, block_k=128,
+        )
+    ref = _xla_reference_packed(qkv, H, pm, rope_arr, W)
+    valid = np.asarray(pm, bool)[:, :, None]
+    np.testing.assert_allclose(
+        np.asarray(out) * valid, np.asarray(ref) * valid, atol=2e-5, rtol=2e-5
+    )
+
+
+def test_band_bias_table_values():
+    from open_provence_tpu.ops.flash_attention import _NEG_INF, _band_bias_table
+
+    S, bq, bk, W = 256, 64, 64, 32
+    table, min_off, stride = _band_bias_table(S, bq, bk, W)
+    table = np.asarray(table)
+    # Every (qi, kj) pair in the banded loop must match the direct formula.
+    for qi in range(S // bq):
+        q_start = qi * bq
+        k_lo = max(0, (q_start - W) // bk)
+        k_hi = min(S // bk, (q_start + bq - 1 + W) // bk + 1)
+        for kj in range(k_lo, k_hi):
+            t = (qi * bq - kj * bk - min_off) // stride
+            rows = np.arange(bq)[:, None] + q_start
+            cols = np.arange(bk)[None, :] + kj * bk
+            expect = np.where(np.abs(rows - cols) <= W, 0.0, _NEG_INF)
+            np.testing.assert_array_equal(table[t], expect, err_msg=f"{qi},{kj}")
