@@ -115,18 +115,64 @@ def get_activation(name: str):
         raise ValueError(f"Unsupported activation: {name!r}") from exc
 
 
+class _DenseKernel(nn.Module):
+    """Bare kernel parameter with nn.Dense's tree layout (``<name>/kernel``)
+    and init — lets the fused-GeGLU path read the weight directly while
+    keeping checkpoints interchangeable with the nn.Dense path."""
+
+    shape: tuple[int, int]
+
+    @nn.compact
+    def __call__(self) -> jnp.ndarray:
+        return self.param(
+            "kernel", nn.linear.default_kernel_init, self.shape
+        )
+
+
 class ModernBertMLP(nn.Module):
-    """GeGLU MLP: Wi projects to 2×intermediate; act(input)·gate → Wo."""
+    """GeGLU MLP: Wi projects to 2×intermediate; act(input)·gate → Wo.
+
+    On TPU the Wi projection + gate run as one Pallas kernel
+    (ops/geglu.py): XLA's materialize-[·,2I]-then-input-fuse plan held the
+    Wo2 matmul at ~3x off peak and cost ~150 MB/layer of HBM traffic at
+    base-512 shapes. ``OPEN_PROVENCE_TPU_FUSED_GEGLU=0`` reverts."""
 
     config: ModernBertBackboneConfig
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
+        import os
+
+        from ..ops.attention import _default_platform
+        from ..ops.geglu import fused_geglu, geglu_supported
+
         cfg = self.config
-        wi = nn.Dense(2 * cfg.intermediate_size, use_bias=cfg.mlp_bias, name="Wi")(x)
-        inp, gate = jnp.split(wi, 2, axis=-1)
-        act = get_activation(cfg.hidden_activation)
-        hidden = act(inp) * gate
+        rows = x.shape[0] * x.shape[1] if x.ndim == 3 else x.shape[0]
+        use_fused = (
+            not cfg.mlp_bias
+            and _default_platform() == "tpu"
+            and x.dtype in (jnp.bfloat16, jnp.float32)
+            and geglu_supported(
+                rows, cfg.hidden_size, cfg.intermediate_size,
+                jnp.dtype(x.dtype).itemsize, cfg.hidden_activation,
+            )
+            and os.environ.get("OPEN_PROVENCE_TPU_FUSED_GEGLU", "1") != "0"
+        )
+        if use_fused:
+            wi_kernel = _DenseKernel(
+                (cfg.hidden_size, 2 * cfg.intermediate_size), name="Wi"
+            )().astype(x.dtype)
+            hidden = fused_geglu(
+                x.reshape(rows, cfg.hidden_size), wi_kernel,
+                cfg.hidden_activation,
+            ).reshape(*x.shape[:-1], cfg.intermediate_size)
+        else:
+            act = get_activation(cfg.hidden_activation)
+            wi = nn.Dense(
+                2 * cfg.intermediate_size, use_bias=cfg.mlp_bias, name="Wi"
+            )(x)
+            inp, gate = jnp.split(wi, 2, axis=-1)
+            hidden = act(inp) * gate
         if cfg.mlp_dropout > 0.0:
             hidden = nn.Dropout(cfg.mlp_dropout)(hidden, deterministic=deterministic)
         return nn.Dense(cfg.hidden_size, use_bias=cfg.mlp_bias, name="Wo")(hidden)

@@ -1,0 +1,208 @@
+"""Fused GeGLU: act(x @ Wi_inp) * (x @ Wi_gate) in one Pallas kernel.
+
+ModernBERT's MLP projects to 2*intermediate and gates
+(reference open_provence/ uses HF ModernBertMLP; our JAX counterpart is
+models/modernbert.py::ModernBertMLP). On TPU, XLA materializes the
+[B*S, 2I] Wi output in HBM and input-fuses the gelu-gate into the Wo2
+matmul, which drops that GEMM to ~3x off peak (profiled 0.436 ms vs
+0.147 ms SoL per layer at B=32, S=512, ModernBERT-base). This kernel
+computes both Wi halves as fp32 accumulators in VMEM and applies the
+activation epilogue in-register, so the 2I-wide intermediate never
+touches HBM (saves ~150 MB/layer of traffic at base-512 shapes).
+
+Mosaic has no erf/erfc lowering, so exact GeLU evaluates Eigen's
+rational-polynomial erf in-register — the same approximation XLA's own
+erf lowering uses, so the kernel agrees with the unfused composition to
+a few fp32 ulps (measured 5e-7), far below a bf16 half-ulp.
+
+Numerics: accumulation fp32; each half is rounded to the input dtype
+(the unfused composition's rounding point), the activation is evaluated
+in fp32 on the rounded value, rounded back, and the gate product runs
+in the storage dtype — mirroring XLA's round→transcendental→round chain.
+
+The op carries a custom_vjp whose backward recomputes through the plain
+XLA composition (two GEMMs), like the flash kernel's XLA fallback path.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_VMEM_BUDGET = 24 * 1024 * 1024
+_SQRT_2 = math.sqrt(2.0)
+_SQRT_2_OVER_PI = math.sqrt(2.0 / math.pi)
+
+
+# Eigen's generic_fast_erf_float rational approximation (the same one
+# XLA lowers erf to): erf(x) ≈ x·P(x²)/Q(x²) on the clamp [-4, 4].
+# Near 1-ulp fp32 accuracy, built from mul/add/div only (Mosaic-lowerable)
+# — and numerically the same polynomial the unfused XLA path evaluates.
+_ERF_ALPHA = (
+    -2.72614225801306e-10, 2.77068142495902e-08, -2.10102402082508e-06,
+    -5.69250639462346e-05, -7.34990630326855e-04, -2.95459980854025e-03,
+    -1.60960333262415e-02,
+)
+_ERF_BETA = (
+    -1.45660718464996e-05, -2.13374055278905e-04, -1.68282697438203e-03,
+    -7.37332916720468e-03, -1.42647390514189e-02,
+)
+
+
+def _erf_approx(x: jnp.ndarray) -> jnp.ndarray:
+    x = jnp.clip(x, -4.0, 4.0)
+    x2 = x * x
+    p = _ERF_ALPHA[0]
+    for c in _ERF_ALPHA[1:]:
+        p = p * x2 + c
+    p = p * x
+    q = _ERF_BETA[0]
+    for c in _ERF_BETA[1:]:
+        q = q * x2 + c
+    return p / q
+
+
+def _gelu_exact_kernel(x):
+    return 0.5 * x * (1.0 + _erf_approx(x / _SQRT_2))
+
+
+def _gelu_tanh_kernel(x):
+    inner = _SQRT_2_OVER_PI * (x + 0.044715 * (x * x * x))
+    return 0.5 * x * (1.0 + jnp.tanh(inner))
+
+
+def _silu_kernel(x):
+    return x / (1.0 + jnp.exp(-x))
+
+
+# In-kernel epilogues (fp32 in, fp32 out), keyed by HF activation name.
+_KERNEL_ACTIVATIONS = {
+    "gelu": _gelu_exact_kernel,
+    "gelu_new": _gelu_tanh_kernel,
+    "gelu_pytorch_tanh": _gelu_tanh_kernel,
+    "relu": lambda x: jnp.maximum(x, 0.0),
+    "silu": _silu_kernel,
+    "swish": _silu_kernel,
+}
+
+# XLA-side activations for the reference path / backward recompute.
+_REFERENCE_ACTIVATIONS = {
+    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+    "gelu_new": lambda x: jax.nn.gelu(x, approximate=True),
+    "gelu_pytorch_tanh": lambda x: jax.nn.gelu(x, approximate=True),
+    "relu": jax.nn.relu,
+    "silu": jax.nn.silu,
+    "swish": jax.nn.silu,
+}
+
+
+def _pick_block_m(m: int, k: int, intermediate: int, itemsize: int) -> int | None:
+    """Largest row tile whose working set fits the VMEM budget."""
+    weights = 2 * k * intermediate * itemsize
+    for bm in (512, 256, 128):
+        if m % bm != 0:
+            continue
+        acc = 2 * bm * intermediate * 4
+        x_tile = bm * k * itemsize
+        out = bm * intermediate * itemsize
+        # x/out are double-buffered by the pipeline; weights are grid-constant.
+        if weights + acc + 2 * (x_tile + out) <= _VMEM_BUDGET:
+            return bm
+    return None
+
+
+def geglu_supported(
+    m: int, k: int, intermediate: int, itemsize: int = 2, activation: str = "gelu"
+) -> bool:
+    return (
+        activation in _KERNEL_ACTIVATIONS
+        and k % 128 == 0
+        and intermediate % 128 == 0
+        and _pick_block_m(m, k, intermediate, itemsize) is not None
+    )
+
+
+def _geglu_kernel(x_ref, w_inp_ref, w_gate_ref, o_ref, *, activation):
+    x = x_ref[...]
+    acc_inp = jax.lax.dot_general(
+        x, w_inp_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_gate = jax.lax.dot_general(
+        x, w_gate_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    act_fn = _KERNEL_ACTIVATIONS[activation]
+    # Round to storage dtype first (the unfused composition's rounding
+    # point), evaluate the transcendental in fp32, round back, gate in
+    # storage dtype.
+    inp = acc_inp.astype(o_ref.dtype).astype(jnp.float32)
+    gate = acc_gate.astype(o_ref.dtype)
+    o_ref[...] = act_fn(inp).astype(o_ref.dtype) * gate
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def fused_geglu(x2d: jnp.ndarray, wi: jnp.ndarray, activation: str) -> jnp.ndarray:
+    """x2d [M, K] @ wi [K, 2I] → act(first half) * second half, [M, I]."""
+    return _geglu_forward(x2d, wi, activation)
+
+
+def _geglu_forward(x2d, wi, activation):
+    m, k = x2d.shape
+    intermediate = wi.shape[1] // 2
+    itemsize = jnp.dtype(x2d.dtype).itemsize
+    bm = _pick_block_m(m, k, intermediate, itemsize)
+    if bm is None or activation not in _KERNEL_ACTIVATIONS:
+        raise ValueError(
+            f"fused_geglu unsupported for M={m} K={k} I={intermediate} "
+            f"act={activation!r}"
+        )
+    w_inp = wi[:, :intermediate]
+    w_gate = wi[:, intermediate:]
+    return pl.pallas_call(
+        functools.partial(_geglu_kernel, activation=activation),
+        grid=(m // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i: (i, 0)),
+            # Grid-constant blocks: DMA'd once, reused by every row tile.
+            pl.BlockSpec((k, intermediate), lambda i: (0, 0)),
+            pl.BlockSpec((k, intermediate), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bm, intermediate), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((m, intermediate), x2d.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=32 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * m * k * intermediate,
+            bytes_accessed=(x2d.size + wi.size + m * intermediate) * itemsize,
+            transcendentals=m * intermediate,
+        ),
+    )(x2d, w_inp, w_gate)
+
+
+def _geglu_reference(x2d, wi, activation):
+    """The unfused composition (matches the kernel's rounding points)."""
+    act_fn = _REFERENCE_ACTIVATIONS[activation]
+    proj = jnp.dot(x2d, wi, preferred_element_type=jnp.float32).astype(x2d.dtype)
+    inp, gate = jnp.split(proj, 2, axis=-1)
+    return act_fn(inp) * gate
+
+
+def _geglu_fwd(x2d, wi, activation):
+    return _geglu_forward(x2d, wi, activation), (x2d, wi)
+
+
+def _geglu_bwd(activation, residuals, g):
+    x2d, wi = residuals
+    _, vjp = jax.vjp(lambda x_, w_: _geglu_reference(x_, w_, activation), x2d, wi)
+    return vjp(g)
+
+
+fused_geglu.defvjp(_geglu_fwd, _geglu_bwd)
