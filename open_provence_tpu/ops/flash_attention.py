@@ -973,6 +973,125 @@ def _flash_kernel_packed(
         o_ref[0, :, p * lanes:(p + 1) * lanes] = jnp.concatenate(halves, axis=-1)
 
 
+def _flash_kernel_packed_banded(
+    q_ref,  # [1, block_q, h_block·D] — q lane region of the packed buffer
+    k_ref,  # [1, S, h_block·D] — k lane region
+    v_ref,  # [1, S, h_block·D] — v lane region
+    mask_ref,  # [1, 1, S] int32 (1 = valid)
+    rope_ref,  # [2, S, D] cos/sin
+    band_ref,  # [n_off, sub_q, sub_k] fp32 Toeplitz band table
+    o_ref,  # [1, block_q, h_block·D]
+    *maybe_lse,  # optional lse_ref [1, h_block, block_q, 1] fp32 (training)
+    seq_len: int,
+    block_q: int,
+    sub_q: int,
+    sub_k: int,
+    h_block: int,
+    head_dim: int,
+    window: int,
+    scale: float,
+    has_mask: bool,
+    has_rope: bool,
+    band_min_off: int,
+    band_stride: int,
+):
+    """Windowed-attention kernel with fully-static in-program band skipping.
+
+    Requires ``block_q == seq_len`` (one q program per (batch, head
+    group)), which makes every index static: the q sub-block starts, the
+    in-band k ranges, and the band-table rows all resolve at trace time,
+    so the whole band walk unrolls with zero loop or dynamic-slice
+    overhead. The grid-level kernel (``_flash_kernel_packed``) can only
+    skip whole ``block_k`` key blocks per q *program*; at S=512 with
+    block_q=512 one program spans every row, so nothing skips and local
+    layers cost MORE than global ones (profiled 0.66 vs 0.52 ms at
+    B=32). Shrinking the grid blocks instead re-pays per-program setup
+    (rope, k/v staging) — 1.87 ms/layer at 128-blocks vs 1.04 at 512
+    (scripts/perf_flash_block_sweep.py) — and a dynamic-fori sub-block
+    variant of this kernel lost ~20% end-to-end. Here k/v stay
+    VMEM-resident, k is rope-rotated ONCE per pair, and out-of-band
+    tiles skip BOTH the MXU work and the fp32 softmax exps.
+    """
+    assert block_q == seq_len, "banded kernel requires one q program"
+    lse_ref = maybe_lse[0] if maybe_lse else None
+    scale_is_pow2 = float(scale) != 0.0 and (
+        abs(scale) == 2.0 ** round(math.log2(abs(scale)))
+    )
+    lanes = 2 * head_dim
+    num_pairs = h_block // 2
+    num_sk = seq_len // sub_k
+
+    if has_rope:
+        rot_p2 = _rot_half_matrix_pair(head_dim, q_ref.dtype)
+        cos2 = jnp.concatenate([rope_ref[0]] * 2, axis=-1)  # [S, 2D]
+        sin2 = jnp.concatenate([rope_ref[1]] * 2, axis=-1)
+
+    qs, ks, vs = [], [], []
+    for p in range(num_pairs):
+        q_pair = q_ref[0, :, p * lanes:(p + 1) * lanes]  # [S, 2D]
+        k_pair = k_ref[0, :, p * lanes:(p + 1) * lanes]
+        if has_rope:
+            q_pair = _apply_rope_mx(q_pair, cos2, sin2, rot_p2)
+            k_pair = _apply_rope_mx(k_pair, cos2, sin2, rot_p2)
+        if scale_is_pow2:
+            q_pair = q_pair * jnp.asarray(scale, dtype=q_pair.dtype)
+        for sub in range(2):
+            qs.append(q_pair[:, sub * head_dim:(sub + 1) * head_dim])
+            ks.append(k_pair[:, sub * head_dim:(sub + 1) * head_dim])
+            vs.append(v_ref[0, :, p * lanes + sub * head_dim:
+                            p * lanes + (sub + 1) * head_dim])
+
+    for sqi in range(seq_len // sub_q):
+        q_start = sqi * sub_q
+        k_lo = max(0, (q_start - window) // sub_k)
+        k_hi = min(num_sk, (q_start + sub_q - 1 + window) // sub_k + 1)
+
+        outs = []
+        for h in range(h_block):
+            q_sub = qs[h][q_start:q_start + sub_q, :]
+            m_run = jnp.full((sub_q, 1), _NEG_INF, dtype=jnp.float32)
+            l_run = jnp.zeros((sub_q, 1), dtype=jnp.float32)
+            acc = jnp.zeros((sub_q, head_dim), dtype=jnp.float32)
+            for kj in range(k_lo, k_hi):
+                k_off = kj * sub_k
+                t = (q_start - k_off - band_min_off) // band_stride
+                bias = band_ref[t]  # [sub_q, sub_k] fp32, static row
+                if has_mask:
+                    kmask = mask_ref[0, 0, k_off:k_off + sub_k]
+                    krow = jnp.where(kmask > 0, 0.0, _NEG_INF)[None, :]
+                    # Clamp: two stacked _NEG_INF adds overflow to -inf,
+                    # and a fully -inf row would make exp(s - m) NaN.
+                    bias = jnp.maximum(bias + krow, _NEG_INF)
+                s = jax.lax.dot_general(
+                    q_sub, ks[h][k_off:k_off + sub_k, :],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                if not scale_is_pow2:
+                    s = s * scale
+                s = s + bias
+                m_cur = jnp.max(s, axis=-1, keepdims=True)
+                m_new = jnp.maximum(m_run, m_cur)
+                p_mat = jnp.exp(s - m_new)
+                alpha = jnp.exp(m_run - m_new)
+                l_run = l_run * alpha + jnp.sum(p_mat, axis=-1, keepdims=True)
+                acc = acc * alpha + jax.lax.dot_general(
+                    p_mat.astype(vs[h].dtype), vs[h][k_off:k_off + sub_k, :],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                m_run = m_new
+            if lse_ref is not None:
+                lse = jnp.where(l_run == 0.0, -_NEG_INF, m_run + jnp.log(l_run))
+                lse_ref[0, h, q_start:q_start + sub_q] = lse
+            l_safe = jnp.where(l_run == 0.0, 1.0, l_run)
+            outs.append((acc / l_safe).astype(o_ref.dtype))
+        for p in range(num_pairs):
+            o_ref[0, q_start:q_start + sub_q, p * lanes:(p + 1) * lanes] = (
+                jnp.concatenate(outs[2 * p:2 * p + 2], axis=-1)
+            )
+
+
 def _packed_specs(
     batch: int, seq_len: int, num_heads: int, head_dim: int, h_block: int,
     block_q: int,
@@ -991,6 +1110,38 @@ def _packed_specs(
         (1, seq_len, lane_blk), lambda b, h, i: (b, 0, 2 * groups + h)
     )
     return q_spec, k_spec, v_spec, lane_blk
+
+
+def banded_sub_blocks(
+    seq_len: int, block_q: int, window: int | None
+) -> tuple[int, int] | None:
+    """Pick in-program (sub_q, sub_k) for the banded windowed kernel, or
+    None to use grid-level skipping.
+
+    Default OFF: on v5e at B=32/S=512 the banded kernel profiles at
+    0.784 ms/local-layer vs 0.656 for the grid kernel — [sub_q, D] MXU
+    tiles re-load systolic-array weights ~2.5x more often, which costs
+    more than the 37.5% of skipped tiles saves. Kept (with parity tests)
+    as the starting point if a wider-window / longer-S config ever makes
+    the arithmetic favorable; enable via OPEN_PROVENCE_TPU_BANDED=1."""
+    if window is None:
+        return None
+    if os.environ.get("OPEN_PROVENCE_TPU_BANDED", "0") == "0":
+        return None
+    sub_env = os.environ.get("OPEN_PROVENCE_TPU_BANDED_SUB", "128,128")
+    sub_q, sub_k = (int(x) for x in sub_env.split(","))
+    # Fully-static variant only: one q program spanning the sequence.
+    if (
+        block_q != seq_len
+        or seq_len % sub_q != 0
+        or seq_len % sub_k != 0
+        or seq_len == sub_q
+    ):
+        return None
+    # Band as wide as the sequence: nothing to skip.
+    if sub_q + 2 * window + sub_k >= seq_len:
+        return None
+    return sub_q, sub_k
 
 
 def _flash_forward_packed(
@@ -1034,28 +1185,54 @@ def _flash_forward_packed(
     grid = (batch, num_heads // h_block, seq_len // block_q)
     band_min_off, band_stride = 0, 1
     band_inputs, band_specs = [], []
-    if window is not None:
+    sub = banded_sub_blocks(seq_len, block_q, window)
+    if sub is not None:
+        sub_q, sub_k = sub
         band, band_min_off, band_stride = _band_bias_table(
-            seq_len, block_q, block_k, window
+            seq_len, sub_q, sub_k, window
         )
         band_inputs = [band]
         band_specs = [
             pl.BlockSpec(band.shape, lambda b, h, i: (0, 0, 0))
         ]
-    kernel = functools.partial(
-        _flash_kernel_packed,
-        seq_len=seq_len,
-        block_q=block_q,
-        block_k=block_k,
-        h_block=h_block,
-        head_dim=head_dim,
-        window=window,
-        scale=scale,
-        has_mask=has_mask,
-        has_rope=has_rope,
-        band_min_off=band_min_off,
-        band_stride=band_stride,
-    )
+        kernel = functools.partial(
+            _flash_kernel_packed_banded,
+            seq_len=seq_len,
+            block_q=block_q,
+            sub_q=sub_q,
+            sub_k=sub_k,
+            h_block=h_block,
+            head_dim=head_dim,
+            window=window,
+            scale=scale,
+            has_mask=has_mask,
+            has_rope=has_rope,
+            band_min_off=band_min_off,
+            band_stride=band_stride,
+        )
+    else:
+        if window is not None:
+            band, band_min_off, band_stride = _band_bias_table(
+                seq_len, block_q, block_k, window
+            )
+            band_inputs = [band]
+            band_specs = [
+                pl.BlockSpec(band.shape, lambda b, h, i: (0, 0, 0))
+            ]
+        kernel = functools.partial(
+            _flash_kernel_packed,
+            seq_len=seq_len,
+            block_q=block_q,
+            block_k=block_k,
+            h_block=h_block,
+            head_dim=head_dim,
+            window=window,
+            scale=scale,
+            has_mask=has_mask,
+            has_rope=has_rope,
+            band_min_off=band_min_off,
+            band_stride=band_stride,
+        )
     out_spec = pl.BlockSpec((1, block_q, lane_blk), lambda b, h, i: (b, i, h))
     lse_spec = pl.BlockSpec((1, h_block, block_q, 1), lambda b, h, i: (b, h, i, 0))
     return pl.pallas_call(

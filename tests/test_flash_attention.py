@@ -282,3 +282,45 @@ def test_band_bias_table_values():
             cols = np.arange(bk)[None, :] + kj * bk
             expect = np.where(np.abs(rows - cols) <= W, 0.0, _NEG_INF)
             np.testing.assert_array_equal(table[t], expect, err_msg=f"{qi},{kj}")
+
+
+def test_banded_kernel_parity_and_policy(monkeypatch):
+    """The static banded windowed kernel (OPEN_PROVENCE_TPU_BANDED=1) must
+    match the grid-level kernel on valid rows, including lse for training."""
+    from open_provence_tpu.ops.flash_attention import (
+        _flash_forward_packed,
+        banded_sub_blocks,
+    )
+    from open_provence_tpu.ops.rotary import rope_tables
+
+    monkeypatch.setenv("OPEN_PROVENCE_TPU_BANDED", "1")
+    # Policy: engages only for the one-q-program case with a narrow band.
+    assert banded_sub_blocks(512, 512, 64) == (128, 128)
+    assert banded_sub_blocks(512, 512, None) is None
+    assert banded_sub_blocks(1024, 512, 64) is None   # multi-program grid
+    assert banded_sub_blocks(256, 256, 64) is None    # band covers sequence
+    monkeypatch.setenv("OPEN_PROVENCE_TPU_BANDED", "0")
+    assert banded_sub_blocks(512, 512, 64) is None
+
+    B, S, H, D, W = 2, 512, 4, 64, 64
+    qkv = _rand_packed(B, S, H, D)
+    cos, sin = rope_tables(S, D, 10000.0)
+    rope_arr = jnp.stack([cos.astype(qkv.dtype), sin.astype(qkv.dtype)])
+    m = np.ones((B, S), np.int32)
+    m[1, 400:] = 0
+    pm = jnp.asarray(m)
+
+    def run(banded):
+        monkeypatch.setenv("OPEN_PROVENCE_TPU_BANDED", "1" if banded else "0")
+        with pltpu.force_tpu_interpret_mode():
+            return _flash_forward_packed(
+                qkv, H, pm, rope_arr, W, S, 256, emit_lse=True
+            )
+
+    o_b, lse_b = run(True)
+    o_g, lse_g = run(False)
+    valid = np.asarray(pm, bool)
+    o_diff = np.abs(np.asarray(o_b) - np.asarray(o_g)).max(axis=-1)
+    assert o_diff[valid].max() < 2e-5  # padded rows are don't-care
+    lse_diff = np.abs(np.asarray(lse_b) - np.asarray(lse_g))[:, :, :, 0]
+    assert lse_diff.transpose(0, 2, 1)[valid].max() < 2e-5
