@@ -58,12 +58,21 @@ class BackboneLayerNorm(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, residual: jnp.ndarray | None = None
+        self,
+        x: jnp.ndarray,
+        residual: jnp.ndarray | None = None,
+        defer: bool = False,
     ) -> jnp.ndarray | tuple[jnp.ndarray, jnp.ndarray]:
         """Without ``residual``: LayerNorm(x). With it: fuses the preceding
         residual add — returns ``(residual + x, LN(residual + x))`` in one
         HBM pass (XLA keeps the add as a standalone ~0.2 ms fusion once LN
-        lives in Pallas)."""
+        lives in Pallas).
+
+        ``defer=True`` creates the scale param but does NOT normalize:
+        returns ``(x, scale)`` (or ``(residual + x, scale)``), so the
+        caller can fold the norm into the adjacent GEMM kernel
+        (ops/geglu.py fused_ln_geglu / fused_ln_matmul) while the
+        checkpoint tree keeps this module's ``<name>/scale`` entry."""
         import os
 
         from ..ops.attention import _default_platform
@@ -75,6 +84,10 @@ class BackboneLayerNorm(nn.Module):
             if self.use_bias
             else None
         )
+        if defer:
+            assert bias is None, "deferred LN requires a bias-free norm"
+            h = x if residual is None else residual + x
+            return h, scale
         use_fused = (
             bias is None
             and _default_platform() == "tpu"
@@ -129,6 +142,45 @@ class _DenseKernel(nn.Module):
         )
 
 
+def mlp_geglu_fusable(cfg: ModernBertBackboneConfig, rows: int, dtype) -> bool:
+    """True when the MLP runs as the fused GeGLU Pallas kernel."""
+    import os
+
+    from ..ops.attention import _default_platform
+    from ..ops.geglu import geglu_supported
+
+    return (
+        not cfg.mlp_bias
+        and _default_platform() == "tpu"
+        and dtype in (jnp.bfloat16, jnp.float32)
+        and geglu_supported(
+            rows, cfg.hidden_size, cfg.intermediate_size,
+            jnp.dtype(dtype).itemsize, cfg.hidden_activation,
+        )
+        and os.environ.get("OPEN_PROVENCE_TPU_FUSED_GEGLU", "1") != "0"
+    )
+
+
+def attn_ln_fusable(cfg: ModernBertBackboneConfig, rows: int, dtype) -> bool:
+    """True when attn_norm can fold into a fused LN+Wqkv Pallas matmul."""
+    import os
+
+    from ..ops.attention import _default_platform
+    from ..ops.geglu import ln_matmul_supported
+
+    return (
+        not cfg.attention_bias
+        and not cfg.norm_bias
+        and _default_platform() == "tpu"
+        and dtype in (jnp.bfloat16, jnp.float32)
+        and ln_matmul_supported(
+            rows, cfg.hidden_size, 3 * cfg.hidden_size,
+            jnp.dtype(dtype).itemsize,
+        )
+        and os.environ.get("OPEN_PROVENCE_TPU_FUSED_LN_GEMM", "1") != "0"
+    )
+
+
 class ModernBertMLP(nn.Module):
     """GeGLU MLP: Wi projects to 2×intermediate; act(input)·gate → Wo.
 
@@ -140,33 +192,38 @@ class ModernBertMLP(nn.Module):
     config: ModernBertBackboneConfig
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
-        import os
-
-        from ..ops.attention import _default_platform
-        from ..ops.geglu import fused_geglu, geglu_supported
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        *,
+        deterministic: bool = True,
+        ln_scale: jnp.ndarray | None = None,
+        ln_eps: float = 1e-5,
+    ) -> jnp.ndarray:
+        """``ln_scale`` (from a deferred mlp_norm) folds the pre-MLP
+        LayerNorm into the GeGLU kernel's row tiles — one fewer HBM pass
+        over the hidden state per layer."""
+        from ..ops.geglu import fused_geglu, fused_ln_geglu
+        from ..ops.layer_norm import layer_norm_reference
 
         cfg = self.config
         rows = x.shape[0] * x.shape[1] if x.ndim == 3 else x.shape[0]
-        use_fused = (
-            not cfg.mlp_bias
-            and _default_platform() == "tpu"
-            and x.dtype in (jnp.bfloat16, jnp.float32)
-            and geglu_supported(
-                rows, cfg.hidden_size, cfg.intermediate_size,
-                jnp.dtype(x.dtype).itemsize, cfg.hidden_activation,
-            )
-            and os.environ.get("OPEN_PROVENCE_TPU_FUSED_GEGLU", "1") != "0"
-        )
+        use_fused = mlp_geglu_fusable(cfg, rows, x.dtype)
         if use_fused:
             wi_kernel = _DenseKernel(
                 (cfg.hidden_size, 2 * cfg.intermediate_size), name="Wi"
             )().astype(x.dtype)
-            hidden = fused_geglu(
-                x.reshape(rows, cfg.hidden_size), wi_kernel,
-                cfg.hidden_activation,
-            ).reshape(*x.shape[:-1], cfg.intermediate_size)
+            x2d = x.reshape(rows, cfg.hidden_size)
+            if ln_scale is not None:
+                hidden = fused_ln_geglu(
+                    x2d, ln_scale, wi_kernel, cfg.hidden_activation, ln_eps
+                )
+            else:
+                hidden = fused_geglu(x2d, wi_kernel, cfg.hidden_activation)
+            hidden = hidden.reshape(*x.shape[:-1], cfg.intermediate_size)
         else:
+            if ln_scale is not None:
+                x = layer_norm_reference(x, ln_scale, None, ln_eps)
             act = get_activation(cfg.hidden_activation)
             wi = nn.Dense(
                 2 * cfg.intermediate_size, use_bias=cfg.mlp_bias, name="Wi"
@@ -192,13 +249,34 @@ class ModernBertAttention(nn.Module):
         *,
         deterministic: bool = True,
         attention_impl: str = "auto",
+        ln_scale: jnp.ndarray | None = None,
+        ln_eps: float = 1e-5,
     ) -> jnp.ndarray:
+        from ..ops.geglu import fused_ln_matmul
+        from ..ops.layer_norm import layer_norm_reference
+
         cfg = self.config
         batch, seq_len, _ = x.shape
         num_heads = cfg.num_attention_heads
         head_dim = cfg.head_dim
 
-        qkv = nn.Dense(3 * cfg.hidden_size, use_bias=cfg.attention_bias, name="Wqkv")(x)
+        if ln_scale is not None and attn_ln_fusable(
+            cfg, batch * seq_len, x.dtype
+        ):
+            # attn_norm folded into the Wqkv projection's row tiles.
+            wqkv_kernel = _DenseKernel(
+                (cfg.hidden_size, 3 * cfg.hidden_size), name="Wqkv"
+            )().astype(x.dtype)
+            qkv = fused_ln_matmul(
+                x.reshape(batch * seq_len, cfg.hidden_size),
+                ln_scale, wqkv_kernel, ln_eps,
+            ).reshape(batch, seq_len, 3 * cfg.hidden_size)
+        else:
+            if ln_scale is not None:
+                x = layer_norm_reference(x, ln_scale, None, ln_eps)
+            qkv = nn.Dense(
+                3 * cfg.hidden_size, use_bias=cfg.attention_bias, name="Wqkv"
+            )(x)
 
         theta = cfg.layer_rope_theta(self.layer_id)
         cos, sin = rope_tables(seq_len, head_dim, theta, dtype=jnp.float32)
@@ -264,24 +342,50 @@ class ModernBertEncoderLayer(nn.Module):
         # deterministic/attention_impl are positional so nn.remat can mark
         # them static (jax.checkpoint rejects non-array kwargs).
         cfg = self.config
+        rows = x.shape[0] * x.shape[1]
+        # Fold each pre-norm into its adjacent Pallas GEMM when possible:
+        # the norm output feeds ONLY that projection, so normalizing inside
+        # the GEMM's row tiles removes one HBM read+write of the hidden
+        # state per norm (profiled 0.077 ms attn_norm / 0.032 ms mlp_norm
+        # per layer at B=32, S=512, base).
+        fuse_attn_ln = self.layer_id != 0 and attn_ln_fusable(cfg, rows, x.dtype)
+        fuse_mlp_ln = mlp_geglu_fusable(cfg, rows, x.dtype)
         if self.layer_id == 0:
             # Layer 0 skips attn_norm: embeddings are already normalized.
-            attn_in = x
-        else:
-            attn_in = BackboneLayerNorm(
+            attn_in, attn_scale = x, None
+        elif fuse_attn_ln:
+            attn_in, attn_scale = BackboneLayerNorm(
                 epsilon=cfg.norm_eps, use_bias=cfg.norm_bias, name="attn_norm"
-            )(x)
+            )(x, defer=True)
+        else:
+            attn_in, attn_scale = BackboneLayerNorm(
+                epsilon=cfg.norm_eps, use_bias=cfg.norm_bias, name="attn_norm"
+            )(x), None
         attn_out = ModernBertAttention(cfg, self.layer_id, name="attn")(
             attn_in,
             padding_mask,
             deterministic=deterministic,
             attention_impl=attention_impl,
+            ln_scale=attn_scale,
+            ln_eps=cfg.norm_eps,
         )
-        # The attention residual add is fused into mlp_norm's kernel.
-        x, mlp_in = BackboneLayerNorm(
-            epsilon=cfg.norm_eps, use_bias=cfg.norm_bias, name="mlp_norm"
-        )(attn_out, residual=x)
-        x = x + ModernBertMLP(cfg, name="mlp")(mlp_in, deterministic=deterministic)
+        if fuse_mlp_ln:
+            x, mlp_scale = BackboneLayerNorm(
+                epsilon=cfg.norm_eps, use_bias=cfg.norm_bias, name="mlp_norm"
+            )(attn_out, residual=x, defer=True)
+            mlp_out = ModernBertMLP(cfg, name="mlp")(
+                x, deterministic=deterministic,
+                ln_scale=mlp_scale, ln_eps=cfg.norm_eps,
+            )
+        else:
+            # The attention residual add is fused into mlp_norm's kernel.
+            x, mlp_in = BackboneLayerNorm(
+                epsilon=cfg.norm_eps, use_bias=cfg.norm_bias, name="mlp_norm"
+            )(attn_out, residual=x)
+            mlp_out = ModernBertMLP(cfg, name="mlp")(
+                mlp_in, deterministic=deterministic
+            )
+        x = x + mlp_out
         return x
 
 

@@ -41,11 +41,14 @@ def bench_forward(module, params, batch, seq, iters=8):
     mask = jnp.ones((batch, seq), dtype=jnp.int32)
     inputs = [jnp.asarray(np.roll(base, i, axis=1)) for i in range(iters)]
     jax.device_get([x[0, 0] for x in inputs])
-    r = fn(params, inputs[0], mask)
-    jax.device_get(r[0, 0])
+    # Warm up twice, fetch outputs WHOLE (host-side slicing enqueues one
+    # tiny device program per output — a tunnel dispatch inside the timed
+    # window; see CLAUDE.md measurement traps).
+    jax.device_get(fn(params, inputs[0], mask))
+    jax.device_get(fn(params, inputs[0], mask))
     start = time.perf_counter()
     outs = [fn(params, x, mask) for x in inputs]
-    jax.device_get([o[0, 0] for o in outs])
+    jax.device_get(outs)
     elapsed = (time.perf_counter() - start) / iters
     return {
         "batch": batch,

@@ -90,3 +90,161 @@ def test_mlp_param_tree_is_path_independent(monkeypatch):
     assert tree_on == {
         "params": {"Wi": {"kernel": (128, 256)}, "Wo": {"kernel": (128, 128)}}
     }
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_ln_geglu_matches_reference(dtype):
+    from open_provence_tpu.ops.geglu import _ln_geglu_reference, fused_ln_geglu
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(256, 128)), dtype=dtype)
+    scale = jnp.asarray(1.0 + 0.1 * rng.normal(size=(128,)), dtype=dtype)
+    wi = jnp.asarray(rng.normal(size=(128, 256)) * 0.05, dtype=dtype)
+    with pltpu.force_tpu_interpret_mode():
+        out = fused_ln_geglu(x, scale, wi, "gelu", 1e-5)
+    ref = _ln_geglu_reference(x, scale, wi, "gelu", 1e-5)
+    atol = 1e-5 if dtype == jnp.float32 else 3e-2
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=atol, rtol=atol
+    )
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_ln_matmul_matches_reference(dtype):
+    from open_provence_tpu.ops.geglu import (
+        _ln_matmul_reference,
+        fused_ln_matmul,
+        ln_matmul_supported,
+    )
+
+    assert ln_matmul_supported(16384, 768, 2304, 2)
+    assert not ln_matmul_supported(100, 768, 2304, 2)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(256, 128)), dtype=dtype)
+    scale = jnp.asarray(1.0 + 0.1 * rng.normal(size=(128,)), dtype=dtype)
+    w = jnp.asarray(rng.normal(size=(128, 384)) * 0.05, dtype=dtype)
+    with pltpu.force_tpu_interpret_mode():
+        out = fused_ln_matmul(x, scale, w, 1e-5)
+    ref = _ln_matmul_reference(x, scale, w, 1e-5)
+    atol = 1e-5 if dtype == jnp.float32 else 3e-2
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=atol, rtol=atol
+    )
+
+
+def test_ln_fused_gradients_match_reference():
+    from open_provence_tpu.ops.geglu import (
+        _ln_geglu_reference,
+        _ln_matmul_reference,
+        fused_ln_geglu,
+        fused_ln_matmul,
+    )
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(128, 128)), dtype=jnp.float32)
+    scale = jnp.asarray(1.0 + 0.1 * rng.normal(size=(128,)), dtype=jnp.float32)
+    wi = jnp.asarray(rng.normal(size=(128, 256)) * 0.05, dtype=jnp.float32)
+    w = jnp.asarray(rng.normal(size=(128, 384)) * 0.05, dtype=jnp.float32)
+
+    def loss_f(x_, s_, w_):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(fused_ln_geglu(x_, s_, w_, "gelu", 1e-5) ** 2)
+
+    def loss_r(x_, s_, w_):
+        return jnp.sum(_ln_geglu_reference(x_, s_, w_, "gelu", 1e-5) ** 2)
+
+    for gf, gr in zip(
+        jax.grad(loss_f, argnums=(0, 1, 2))(x, scale, wi),
+        jax.grad(loss_r, argnums=(0, 1, 2))(x, scale, wi),
+    ):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=1e-4, rtol=1e-4)
+
+    def loss_mf(x_, s_, w_):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(fused_ln_matmul(x_, s_, w_, 1e-5) ** 2)
+
+    def loss_mr(x_, s_, w_):
+        return jnp.sum(_ln_matmul_reference(x_, s_, w_, 1e-5) ** 2)
+
+    for gf, gr in zip(
+        jax.grad(loss_mf, argnums=(0, 1, 2))(x, scale, w),
+        jax.grad(loss_mr, argnums=(0, 1, 2))(x, scale, w),
+    ):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=1e-4, rtol=1e-4)
+
+
+def test_layer_param_tree_with_ln_fusion(monkeypatch):
+    """Folding the norms into GEMM kernels must not change the checkpoint
+    tree: attn_norm/mlp_norm keep their scale entries, Wqkv/Wi keep their
+    kernel entries."""
+    from open_provence_tpu.configs import ModernBertBackboneConfig
+    import open_provence_tpu.models.modernbert as mb
+
+    cfg = ModernBertBackboneConfig(
+        vocab_size=128, hidden_size=128, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=2,
+        max_position_embeddings=256, local_attention=32,
+        pad_token_id=0, num_labels=1,
+    )
+    layer = mb.ModernBertEncoderLayer(cfg, layer_id=1)
+    x = jnp.zeros((2, 128, 128), jnp.float32)
+    pm = jnp.ones((2, 128), jnp.int32)
+
+    def tree(fused):
+        if fused:
+            monkeypatch.setattr(
+                "open_provence_tpu.ops.attention._default_platform", lambda: "tpu"
+            )
+        else:
+            monkeypatch.setattr(
+                "open_provence_tpu.ops.attention._default_platform", lambda: "cpu"
+            )
+        from jax.experimental.pallas import tpu as pltpu_
+        with pltpu_.force_tpu_interpret_mode():
+            params = layer.init(jax.random.PRNGKey(0), x, pm, True, "xla")
+        return jax.tree.map(lambda v: v.shape, params)
+
+    t_fused = tree(True)
+    t_plain = tree(False)
+    assert t_fused == t_plain
+    p = t_plain["params"]
+    assert p["attn_norm"] == {"scale": (128,)}
+    assert p["mlp_norm"] == {"scale": (128,)}
+    assert p["attn"]["Wqkv"] == {"kernel": (128, 384)}
+    assert p["mlp"]["Wi"] == {"kernel": (128, 256)}
+
+
+def test_backbone_forward_with_ln_fusion_matches_plain(monkeypatch):
+    """Full 2-layer backbone: the TPU fused-LN kernel composition must match
+    the plain CPU path within fp32 kernel tolerance."""
+    from open_provence_tpu.configs import ModernBertBackboneConfig
+    import open_provence_tpu.models.modernbert as mb
+    from jax.experimental.pallas import tpu as pltpu_
+
+    cfg = ModernBertBackboneConfig(
+        vocab_size=512, hidden_size=128, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=2,
+        max_position_embeddings=256, local_attention=32,
+        pad_token_id=0, num_labels=1,
+    )
+    model = mb.ModernBertEncoder(cfg)
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 512, (2, 128)), jnp.int32)
+    pm = jnp.ones((2, 128), jnp.int32)
+
+    def run(platform):
+        monkeypatch.setattr(
+            "open_provence_tpu.ops.attention._default_platform", lambda: platform
+        )
+        with pltpu_.force_tpu_interpret_mode():
+            params = model.init(jax.random.PRNGKey(0), ids, pm,
+                                attention_impl="xla")
+            return model.apply(params, ids, pm, attention_impl="xla")
+
+    out_fused = run("tpu")
+    out_plain = run("cpu")
+    assert "last_hidden_state" in out_plain and "last_hidden_pre_norm" in out_plain
+    for key in ("last_hidden_state", "last_hidden_pre_norm"):
+        np.testing.assert_allclose(
+            np.asarray(out_fused[key]), np.asarray(out_plain[key]),
+            atol=2e-4, rtol=2e-4,
+        )
