@@ -8,7 +8,6 @@ k blocks (matmuls AND the fp32 exps).
 
 from __future__ import annotations
 
-import itertools
 import json
 import os
 import sys
