@@ -1118,28 +1118,32 @@ def banded_sub_blocks(
     """Pick in-program (sub_q, sub_k) for the banded windowed kernel, or
     None to use grid-level skipping.
 
-    Default OFF: on v5e at B=32/S=512 the banded kernel profiles at
-    0.784 ms/local-layer vs 0.656 for the grid kernel — [sub_q, D] MXU
-    tiles re-load systolic-array weights ~2.5x more often, which costs
-    more than the 37.5% of skipped tiles saves. Kept (with parity tests)
-    as the starting point if a wider-window / longer-S config ever makes
-    the arithmetic favorable; enable via OPEN_PROVENCE_TPU_BANDED=1."""
+    The banded kernel pays off when a q sub-block's band covers a small
+    fraction of the sequence: measured 2.0x at S=2048 (1.01 vs 2.08
+    ms/local-layer at B=8, base) where coverage is ~19%, but 20% SLOWER
+    at S=512 where coverage is 62% — [sub_q, D] MXU tiles re-load
+    systolic-array weights ~2.5x more often, which only the skipped
+    fraction can buy back. Gate: coverage ≤ 50%. The S cap reflects
+    VMEM: one program holds q/k/v for the whole sequence (at S=8192
+    that is ~25 MB/head — over the 32 MB scope).
+    ``OPEN_PROVENCE_TPU_BANDED=0`` reverts to grid-level skipping."""
     if window is None:
         return None
-    if os.environ.get("OPEN_PROVENCE_TPU_BANDED", "0") == "0":
+    if os.environ.get("OPEN_PROVENCE_TPU_BANDED", "1") == "0":
         return None
     sub_env = os.environ.get("OPEN_PROVENCE_TPU_BANDED_SUB", "128,128")
     sub_q, sub_k = (int(x) for x in sub_env.split(","))
     # Fully-static variant only: one q program spanning the sequence.
     if (
         block_q != seq_len
+        or seq_len > 4096
         or seq_len % sub_q != 0
         or seq_len % sub_k != 0
         or seq_len == sub_q
     ):
         return None
-    # Band as wide as the sequence: nothing to skip.
-    if sub_q + 2 * window + sub_k >= seq_len:
+    # Coverage guard: sub-blocking must skip at least half the tiles.
+    if 2 * (sub_q + 2 * window + sub_k) > seq_len:
         return None
     return sub_q, sub_k
 
@@ -1707,6 +1711,13 @@ def flash_attention_packed(
     head_dim = three_hd // (3 * num_heads)
     if block_q is None and block_k is None:
         block_q, block_k = pick_block_sizes(seq_len, window)
+        # Windowed layers: prefer one q program spanning the sequence when
+        # the fully-static banded kernel applies (2x at S=2048 — see
+        # banded_sub_blocks).
+        if window is not None and banded_sub_blocks(
+            seq_len, seq_len, window
+        ) is not None:
+            block_q = seq_len
     block_q = int(block_q or DEFAULT_BLOCK_Q)
     block_k = int(block_k or DEFAULT_BLOCK_K)
     if seq_len % block_q != 0 or seq_len % block_k != 0:

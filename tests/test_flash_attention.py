@@ -294,20 +294,23 @@ def test_banded_kernel_parity_and_policy(monkeypatch):
     from open_provence_tpu.ops.rotary import rope_tables
 
     monkeypatch.setenv("OPEN_PROVENCE_TPU_BANDED", "1")
-    # Policy: engages only for the one-q-program case with a narrow band.
-    assert banded_sub_blocks(512, 512, 64) == (128, 128)
-    assert banded_sub_blocks(512, 512, None) is None
-    assert banded_sub_blocks(1024, 512, 64) is None   # multi-program grid
-    assert banded_sub_blocks(256, 256, 64) is None    # band covers sequence
+    # Policy: one-q-program case, ≤50% band coverage, S within VMEM cap.
+    assert banded_sub_blocks(1024, 1024, 64) == (128, 128)
+    assert banded_sub_blocks(2048, 2048, 64) == (128, 128)
+    assert banded_sub_blocks(512, 512, 64) is None    # coverage 75% > 50%
+    assert banded_sub_blocks(2048, 2048, None) is None
+    assert banded_sub_blocks(2048, 512, 64) is None   # multi-program grid
+    assert banded_sub_blocks(8192, 8192, 64) is None  # VMEM cap
     monkeypatch.setenv("OPEN_PROVENCE_TPU_BANDED", "0")
-    assert banded_sub_blocks(512, 512, 64) is None
+    assert banded_sub_blocks(2048, 2048, 64) is None
+    monkeypatch.setenv("OPEN_PROVENCE_TPU_BANDED", "1")
 
-    B, S, H, D, W = 2, 512, 4, 64, 64
+    B, S, H, D, W = 1, 1024, 4, 64, 64
     qkv = _rand_packed(B, S, H, D)
     cos, sin = rope_tables(S, D, 10000.0)
     rope_arr = jnp.stack([cos.astype(qkv.dtype), sin.astype(qkv.dtype)])
     m = np.ones((B, S), np.int32)
-    m[1, 400:] = 0
+    m[0, 900:] = 0
     pm = jnp.asarray(m)
 
     def run(banded):
