@@ -269,6 +269,16 @@ def _ln_geglu_fwd(x2d, ln_scale, wi, activation, eps):
 
 def _ln_geglu_bwd(activation, eps, residuals, g):
     x2d, ln_scale, wi = residuals
+    m, k = x2d.shape
+    intermediate = wi.shape[1] // 2
+    itemsize = jnp.dtype(x2d.dtype).itemsize
+    import os
+
+    if (
+        os.environ.get("OPEN_PROVENCE_TPU_FUSED_GEGLU_BWD", "1") != "0"
+        and _pick_block_m_bwd(m, k, intermediate, itemsize) is not None
+    ):
+        return _ln_geglu_bwd_pallas(x2d, ln_scale, wi, g, activation, eps)
     _, vjp = jax.vjp(
         lambda x_, s_, w_: _ln_geglu_reference(x_, s_, w_, activation, eps),
         x2d, ln_scale, wi,
@@ -277,6 +287,181 @@ def _ln_geglu_bwd(activation, eps, residuals, g):
 
 
 fused_ln_geglu.defvjp(_ln_geglu_fwd, _ln_geglu_bwd)
+
+
+# -- Fused backward: one pass recomputes LN + both Wi halves in VMEM and
+# produces dx / dscale / dWi without ever materializing the [M, 2I]
+# intermediate or the LN output in HBM (the XLA recompute path pays both).
+
+# Activation derivatives, fp32, Mosaic-lowerable.
+_INV_SQRT_2PI = 1.0 / math.sqrt(2.0 * math.pi)
+
+
+def _gelu_exact_grad(x):
+    cdf = 0.5 * (1.0 + _erf_approx(x / _SQRT_2))
+    return cdf + x * _INV_SQRT_2PI * jnp.exp(-0.5 * x * x)
+
+
+def _gelu_tanh_grad(x):
+    u = _SQRT_2_OVER_PI * (x + 0.044715 * (x * x * x))
+    t = jnp.tanh(u)
+    du = _SQRT_2_OVER_PI * (1.0 + 3.0 * 0.044715 * (x * x))
+    return 0.5 * (1.0 + t) + 0.5 * x * (1.0 - t * t) * du
+
+
+def _silu_grad(x):
+    s = 1.0 / (1.0 + jnp.exp(-x))
+    return s * (1.0 + x * (1.0 - s))
+
+
+_KERNEL_ACTIVATION_GRADS = {
+    "gelu": _gelu_exact_grad,
+    "gelu_new": _gelu_tanh_grad,
+    "gelu_pytorch_tanh": _gelu_tanh_grad,
+    "relu": lambda x: (x > 0.0).astype(x.dtype),
+    "silu": _silu_grad,
+    "swish": _silu_grad,
+}
+
+
+def _pick_block_m_bwd(m: int, k: int, intermediate: int, itemsize: int) -> int | None:
+    """Row tile for the backward kernel: weights + two fp32 dW accumulators
+    stay resident; x/g/dx tiles and the fp32 intermediates are per-tile."""
+    if k % 128 != 0 or intermediate % 128 != 0:
+        return None
+    resident = 2 * k * intermediate * itemsize + 2 * k * intermediate * 4
+    for bm in (256, 128):
+        if m % bm != 0:
+            continue
+        tiles = 2 * bm * (2 * k + intermediate) * itemsize  # x,g,dx dbl-buffered
+        acc = 2 * bm * intermediate * 4 + 2 * bm * k * 4
+        if resident + tiles + acc <= _VMEM_BUDGET:
+            return bm
+    return None
+
+
+def _ln_geglu_bwd_kernel(
+    x_ref, s_ref, g_ref, w_inp_ref, w_gate_ref,
+    dx_ref, dwi_ref, dscale_ref,
+    dw_inp_acc, dw_gate_acc, ds_acc,
+    *, activation, eps, num_tiles,
+):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        dw_inp_acc[...] = jnp.zeros_like(dw_inp_acc)
+        dw_gate_acc[...] = jnp.zeros_like(dw_gate_acc)
+        ds_acc[...] = jnp.zeros_like(ds_acc)
+
+    x = x_ref[...].astype(jnp.float32)
+    scale = s_ref[...].astype(jnp.float32)  # [1, K]
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    mean2 = jnp.mean(x * x, axis=-1, keepdims=True)
+    var = jnp.maximum(mean2 - mean * mean, 0.0)
+    rstd = jax.lax.rsqrt(var + eps)
+    h = (x - mean) * rstd  # [bm, K] fp32
+    xn = (h * scale).astype(x_ref.dtype)  # geglu input (forward round point)
+
+    acc_inp = jax.lax.dot_general(
+        xn, w_inp_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_gate = jax.lax.dot_general(
+        xn, w_gate_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    inp = acc_inp.astype(x_ref.dtype).astype(jnp.float32)
+    gate = acc_gate.astype(x_ref.dtype).astype(jnp.float32)
+    act_fn = _KERNEL_ACTIVATIONS[activation]
+    act_grad = _KERNEL_ACTIVATION_GRADS[activation]
+    a = act_fn(inp).astype(x_ref.dtype).astype(jnp.float32)
+    da = act_grad(inp)
+
+    gf = g_ref[...].astype(jnp.float32)
+    gi = (gf * da * gate).astype(x_ref.dtype)  # d acc_inp
+    gg = (gf * a).astype(x_ref.dtype)  # d acc_gate
+
+    # dW halves: contraction over rows (same pattern as the flash dk/dv).
+    dw_inp_acc[...] += jax.lax.dot_general(
+        xn, gi, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dw_gate_acc[...] += jax.lax.dot_general(
+        xn, gg, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    # d(LN output) via the weight transposes (contract the lane dims).
+    dy = jax.lax.dot_general(
+        gi, w_inp_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + jax.lax.dot_general(
+        gg, w_gate_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [bm, K] fp32
+
+    ds_acc[...] += jnp.sum(dy * h, axis=0, keepdims=True)
+    dh = dy * scale
+    dx = rstd * (
+        dh
+        - jnp.mean(dh, axis=-1, keepdims=True)
+        - h * jnp.mean(dh * h, axis=-1, keepdims=True)
+    )
+    dx_ref[...] = dx.astype(dx_ref.dtype)
+
+    @pl.when(i == num_tiles - 1)
+    def _finalize():
+        dwi_ref[:, : dw_inp_acc.shape[1]] = dw_inp_acc[...].astype(dwi_ref.dtype)
+        dwi_ref[:, dw_inp_acc.shape[1]:] = dw_gate_acc[...].astype(dwi_ref.dtype)
+        dscale_ref[...] = ds_acc[...].astype(dscale_ref.dtype)
+
+
+def _ln_geglu_bwd_pallas(x2d, ln_scale, wi, g, activation, eps):
+    m, k = x2d.shape
+    intermediate = wi.shape[1] // 2
+    itemsize = jnp.dtype(x2d.dtype).itemsize
+    bm = _pick_block_m_bwd(m, k, intermediate, itemsize)
+    w_inp = wi[:, :intermediate]
+    w_gate = wi[:, intermediate:]
+    num_tiles = m // bm
+    dx, dwi, dscale = pl.pallas_call(
+        functools.partial(
+            _ln_geglu_bwd_kernel,
+            activation=activation, eps=eps, num_tiles=num_tiles,
+        ),
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i: (i, 0)),
+            pl.BlockSpec((1, k), lambda i: (0, 0)),
+            pl.BlockSpec((bm, intermediate), lambda i: (i, 0)),
+            pl.BlockSpec((k, intermediate), lambda i: (0, 0)),
+            pl.BlockSpec((k, intermediate), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((bm, k), lambda i: (i, 0)),
+            pl.BlockSpec((k, 2 * intermediate), lambda i: (0, 0)),
+            pl.BlockSpec((1, k), lambda i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((m, k), x2d.dtype),
+            jax.ShapeDtypeStruct((k, 2 * intermediate), wi.dtype),
+            jax.ShapeDtypeStruct((1, k), ln_scale.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((k, intermediate), jnp.float32),
+            pltpu.VMEM((k, intermediate), jnp.float32),
+            pltpu.VMEM((1, k), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=12 * m * k * intermediate,
+            bytes_accessed=(2 * x2d.size + g.size + wi.size * 2) * itemsize,
+            transcendentals=2 * m * intermediate,
+        ),
+    )(x2d, ln_scale.reshape(1, k), g, w_inp, w_gate)
+    return dx, dscale.reshape(ln_scale.shape), dwi
 
 
 def _ln_matmul_kernel(x_ref, s_ref, w_ref, o_ref, *, eps):

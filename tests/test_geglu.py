@@ -147,14 +147,16 @@ def test_ln_fused_gradients_match_reference():
     w = jnp.asarray(rng.normal(size=(128, 384)) * 0.05, dtype=jnp.float32)
 
     def loss_f(x_, s_, w_):
-        with pltpu.force_tpu_interpret_mode():
-            return jnp.sum(fused_ln_geglu(x_, s_, w_, "gelu", 1e-5) ** 2)
+        return jnp.sum(fused_ln_geglu(x_, s_, w_, "gelu", 1e-5) ** 2)
 
     def loss_r(x_, s_, w_):
         return jnp.sum(_ln_geglu_reference(x_, s_, w_, "gelu", 1e-5) ** 2)
 
+    # Context wraps the grad call: the fused BACKWARD is a pallas_call too.
+    with pltpu.force_tpu_interpret_mode():
+        gf_all = jax.grad(loss_f, argnums=(0, 1, 2))(x, scale, wi)
     for gf, gr in zip(
-        jax.grad(loss_f, argnums=(0, 1, 2))(x, scale, wi),
+        gf_all,
         jax.grad(loss_r, argnums=(0, 1, 2))(x, scale, wi),
     ):
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=1e-4, rtol=1e-4)
@@ -247,4 +249,37 @@ def test_backbone_forward_with_ln_fusion_matches_plain(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(out_fused[key]), np.asarray(out_plain[key]),
             atol=2e-4, rtol=2e-4,
+        )
+
+
+@pytest.mark.parametrize("act", ["gelu", "gelu_pytorch_tanh", "silu"])
+def test_fused_backward_kernel_matches_reference(act, monkeypatch):
+    """The one-pass Pallas backward (recompute + dx/dscale/dWi in VMEM)
+    must match grads of the XLA reference composition."""
+    from open_provence_tpu.ops.geglu import (
+        _ln_geglu_reference,
+        _pick_block_m_bwd,
+        fused_ln_geglu,
+    )
+
+    assert _pick_block_m_bwd(16384, 768, 1152, 2) is not None
+    monkeypatch.setenv("OPEN_PROVENCE_TPU_FUSED_GEGLU_BWD", "1")
+    rng = np.random.default_rng(7)
+    M, K, I = 256, 128, 128
+    x = jnp.asarray(rng.normal(size=(M, K)), jnp.float32)
+    scale = jnp.asarray(1.0 + 0.1 * rng.normal(size=(K,)), jnp.float32)
+    wi = jnp.asarray(rng.normal(size=(K, 2 * I)) * 0.05, jnp.float32)
+
+    def loss_f(x_, s_, w_):
+        return jnp.sum(fused_ln_geglu(x_, s_, w_, act, 1e-5) ** 2)
+
+    def loss_r(x_, s_, w_):
+        return jnp.sum(_ln_geglu_reference(x_, s_, w_, act, 1e-5) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        gf = jax.grad(loss_f, argnums=(0, 1, 2))(x, scale, wi)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(x, scale, wi)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4
         )
