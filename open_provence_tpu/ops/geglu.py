@@ -546,8 +546,118 @@ def _ln_matmul_fwd(x2d, ln_scale, w, eps):
     return _ln_matmul_forward(x2d, ln_scale, w, eps), (x2d, ln_scale, w)
 
 
+def _pick_block_m_matmul_bwd(m: int, k: int, n: int, itemsize: int) -> int | None:
+    if k % 128 != 0 or n % 128 != 0:
+        return None
+    resident = k * n * itemsize + k * n * 4  # weights + fp32 dW accumulator
+    for bm in (256, 128):
+        if m % bm != 0:
+            continue
+        tiles = 2 * bm * (2 * k + n) * itemsize
+        acc = bm * n * 4 + bm * k * 4
+        if resident + tiles + acc <= _VMEM_BUDGET:
+            return bm
+    return None
+
+
+def _ln_matmul_bwd_kernel(
+    x_ref, s_ref, g_ref, w_ref,
+    dx_ref, dw_ref, dscale_ref,
+    dw_acc, ds_acc,
+    *, eps, num_tiles,
+):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        dw_acc[...] = jnp.zeros_like(dw_acc)
+        ds_acc[...] = jnp.zeros_like(ds_acc)
+
+    x = x_ref[...].astype(jnp.float32)
+    scale = s_ref[...].astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    mean2 = jnp.mean(x * x, axis=-1, keepdims=True)
+    var = jnp.maximum(mean2 - mean * mean, 0.0)
+    rstd = jax.lax.rsqrt(var + eps)
+    h = (x - mean) * rstd
+    xn = (h * scale).astype(x_ref.dtype)
+
+    gt = g_ref[...]
+    dw_acc[...] += jax.lax.dot_general(
+        xn, gt, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dy = jax.lax.dot_general(
+        gt, w_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds_acc[...] += jnp.sum(dy * h, axis=0, keepdims=True)
+    dh = dy * scale
+    dx = rstd * (
+        dh
+        - jnp.mean(dh, axis=-1, keepdims=True)
+        - h * jnp.mean(dh * h, axis=-1, keepdims=True)
+    )
+    dx_ref[...] = dx.astype(dx_ref.dtype)
+
+    @pl.when(i == num_tiles - 1)
+    def _finalize():
+        dw_ref[...] = dw_acc[...].astype(dw_ref.dtype)
+        dscale_ref[...] = ds_acc[...].astype(dscale_ref.dtype)
+
+
+def _ln_matmul_bwd_pallas(x2d, ln_scale, w, g, eps):
+    m, k = x2d.shape
+    n = w.shape[1]
+    itemsize = jnp.dtype(x2d.dtype).itemsize
+    bm = _pick_block_m_matmul_bwd(m, k, n, itemsize)
+    num_tiles = m // bm
+    dx, dw, dscale = pl.pallas_call(
+        functools.partial(_ln_matmul_bwd_kernel, eps=eps, num_tiles=num_tiles),
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i: (i, 0)),
+            pl.BlockSpec((1, k), lambda i: (0, 0)),
+            pl.BlockSpec((bm, n), lambda i: (i, 0)),
+            pl.BlockSpec((k, n), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((bm, k), lambda i: (i, 0)),
+            pl.BlockSpec((k, n), lambda i: (0, 0)),
+            pl.BlockSpec((1, k), lambda i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((m, k), x2d.dtype),
+            jax.ShapeDtypeStruct((k, n), w.dtype),
+            jax.ShapeDtypeStruct((1, k), ln_scale.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((k, n), jnp.float32),
+            pltpu.VMEM((1, k), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * m * k * n,
+            bytes_accessed=(2 * x2d.size + g.size + 2 * w.size) * itemsize,
+            transcendentals=0,
+        ),
+    )(x2d, ln_scale.reshape(1, k), g, w)
+    return dx, dscale.reshape(ln_scale.shape), dw
+
+
 def _ln_matmul_bwd(eps, residuals, g):
     x2d, ln_scale, w = residuals
+    import os
+
+    m, k = x2d.shape
+    if (
+        os.environ.get("OPEN_PROVENCE_TPU_FUSED_GEGLU_BWD", "1") != "0"
+        and _pick_block_m_matmul_bwd(m, k, w.shape[1],
+                                     jnp.dtype(x2d.dtype).itemsize) is not None
+    ):
+        return _ln_matmul_bwd_pallas(x2d, ln_scale, w, g, eps)
     _, vjp = jax.vjp(
         lambda x_, s_, w_: _ln_matmul_reference(x_, s_, w_, eps), x2d, ln_scale, w
     )

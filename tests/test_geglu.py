@@ -162,14 +162,15 @@ def test_ln_fused_gradients_match_reference():
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=1e-4, rtol=1e-4)
 
     def loss_mf(x_, s_, w_):
-        with pltpu.force_tpu_interpret_mode():
-            return jnp.sum(fused_ln_matmul(x_, s_, w_, 1e-5) ** 2)
+        return jnp.sum(fused_ln_matmul(x_, s_, w_, 1e-5) ** 2)
 
     def loss_mr(x_, s_, w_):
         return jnp.sum(_ln_matmul_reference(x_, s_, w_, 1e-5) ** 2)
 
+    with pltpu.force_tpu_interpret_mode():
+        gmf = jax.grad(loss_mf, argnums=(0, 1, 2))(x, scale, w)
     for gf, gr in zip(
-        jax.grad(loss_mf, argnums=(0, 1, 2))(x, scale, w),
+        gmf,
         jax.grad(loss_mr, argnums=(0, 1, 2))(x, scale, w),
     ):
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=1e-4, rtol=1e-4)
