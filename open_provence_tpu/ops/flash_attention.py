@@ -1678,6 +1678,12 @@ def _flash_packed_bwd(window, block_q, block_k, num_heads, residuals, g):
         )
         (dqkv,) = vjp(g)
     else:
+        seq_len = qkv.shape[1]
+        if window is not None and block_q == seq_len:
+            # The forward's banded promotion (block_q == S) has no backward
+            # counterpart — the dq/dkv kernels band-skip at the grid level,
+            # so give them their own grid-friendly blocks.
+            block_q, block_k = pick_block_sizes(seq_len, window)
         dqkv = _flash_backward_packed(
             qkv, num_heads, mask_arr, rope, out, lse, g, window, block_q, block_k
         )

@@ -327,3 +327,41 @@ def test_banded_kernel_parity_and_policy(monkeypatch):
     assert o_diff[valid].max() < 2e-5  # padded rows are don't-care
     lse_diff = np.abs(np.asarray(lse_b) - np.asarray(lse_g))[:, :, :, 0]
     assert lse_diff.transpose(0, 2, 1)[valid].max() < 2e-5
+
+
+def test_banded_forward_grid_backward_gradient(monkeypatch):
+    """With the banded promotion active (block_q == S), the backward must
+    re-pick grid-friendly blocks — gradients still match the XLA reference."""
+    monkeypatch.setenv("OPEN_PROVENCE_TPU_FLASH_BWD", "pallas")
+    monkeypatch.setenv("OPEN_PROVENCE_TPU_BANDED", "1")
+    from open_provence_tpu.ops.flash_attention import (
+        _xla_reference_packed,
+        banded_sub_blocks,
+        flash_attention_packed,
+    )
+    from open_provence_tpu.ops.rotary import rope_tables
+
+    B, S, H, D, W = 1, 1024, 2, 64, 64
+    assert banded_sub_blocks(S, S, W) is not None
+    qkv = _rand_packed(B, S, H, D, seed=5)
+    cos, sin = rope_tables(S, D, 10000.0)
+    rope_arr = jnp.stack([cos.astype(qkv.dtype), sin.astype(qkv.dtype)])
+    m = np.ones((B, S), np.int32)
+    m[0, 1000:] = 0
+    pm = jnp.asarray(m)
+    row_weight = pm[:, :, None].astype(jnp.float32)
+
+    def loss_flash(x):
+        out = flash_attention_packed(
+            x, num_heads=H, padding_mask=pm, window=W, rope=(cos, sin)
+        )
+        return ((out.astype(jnp.float32) * row_weight) ** 2).sum()
+
+    def loss_ref(x):
+        out = _xla_reference_packed(x, H, pm, rope_arr, W)
+        return ((out.astype(jnp.float32) * row_weight) ** 2).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        g1 = jax.grad(loss_flash)(qkv)
+    g2 = jax.grad(loss_ref)(qkv)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4, rtol=1e-4)
