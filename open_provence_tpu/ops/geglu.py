@@ -119,10 +119,13 @@ def _pick_block_m(m: int, k: int, intermediate: int, itemsize: int) -> int | Non
 def geglu_supported(
     m: int, k: int, intermediate: int, itemsize: int = 2, activation: str = "gelu"
 ) -> bool:
+    # intermediate only needs 64-lane alignment: Mosaic pads the lane dim
+    # internally (verified on-chip for ModernBERT-large I=2624 and
+    # xsmall I=576, both % 128 != 0).
     return (
         activation in _KERNEL_ACTIVATIONS
         and k % 128 == 0
-        and intermediate % 128 == 0
+        and intermediate % 64 == 0
         and _pick_block_m(m, k, intermediate, itemsize) is not None
     )
 
@@ -327,7 +330,7 @@ _KERNEL_ACTIVATION_GRADS = {
 def _pick_block_m_bwd(m: int, k: int, intermediate: int, itemsize: int) -> int | None:
     """Row tile for the backward kernel: weights + two fp32 dW accumulators
     stay resident; x/g/dx tiles and the fp32 intermediates are per-tile."""
-    if k % 128 != 0 or intermediate % 128 != 0:
+    if k % 128 != 0 or intermediate % 64 != 0:
         return None
     resident = 2 * k * intermediate * itemsize + 2 * k * intermediate * 4
     for bm in (256, 128):

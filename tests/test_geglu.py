@@ -284,3 +284,23 @@ def test_fused_backward_kernel_matches_reference(act, monkeypatch):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4
         )
+
+
+@pytest.mark.parametrize("k,i", [(384, 576), (256, 328)])
+def test_geglu_unaligned_intermediate(k, i):
+    """ModernBERT-large (I=2624) and xsmall (I=576) have intermediate sizes
+    that are 64- but not 128-lane aligned; Mosaic pads the lane dim.
+    Exercise a scaled-down analog of each."""
+    from open_provence_tpu.ops.geglu import geglu_supported
+
+    assert geglu_supported(4096, 1024, 2624, 2)  # large
+    assert geglu_supported(4096, 384, 576, 2)    # xsmall
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(size=(256, k)), jnp.float32)
+    wi = jnp.asarray(rng.normal(size=(k, 2 * i)) * 0.05, jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        out = fused_geglu(x, wi, "gelu")
+    ref = _geglu_reference(x, wi, "gelu")
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5
+    )
