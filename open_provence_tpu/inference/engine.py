@@ -585,23 +585,27 @@ class OpenProvenceModel:
             except Exception:
                 progress = None
 
-        for seq_len, entries in iterator:
-            for start in range(0, len(entries), batch_size):
-                chunk = entries[start : start + batch_size]
-                n_rows = self._bucket_rows(len(chunk), batch_size)
-                batch_arrays = pad_block_batch(chunk, seq_len, n_rows, pad_id)
-                infer_start = perf_counter()
+        # Dispatch-then-fetch: every host sync over the device tunnel costs a
+        # full round trip, and the old fetch-per-batch loop paid 3-5 of them
+        # per batch (measured 126-194 ms/batch against ~37 ms of compute at
+        # B=32, S=512). Phase 1 enqueues every bucket batch (jax dispatch is
+        # async, so compute and input transfers overlap); phase 2 fetches a
+        # window of results in ONE device_get; phase 3 attaches on host.
+        # The window bounds host+device memory for the pending [B, S]
+        # outputs (~0.25 MB each) on very large workloads.
+        FETCH_WINDOW = 256
+        pending: list[tuple[list[dict[str, Any]], Any]] = []
+
+        def _drain() -> None:
+            nonlocal inference_time
+            if not pending:
+                return
+            fetch_start = perf_counter()
+            fetched = jax.device_get([res for _, res in pending])
+            inference_time += perf_counter() - fetch_start
+            for (chunk, _), res in zip(pending, fetched):
                 if use_device_pooling:
-                    segment_ids = np.full((n_rows, seq_len), -1, dtype=np.int32)
-                    for row, entry in enumerate(chunk):
-                        for j, (frag_start, frag_end) in enumerate(entry["ranges"]):
-                            segment_ids[row, frag_start:frag_end] = j
-                    rank, means, counts = self._run_device_batch_pooled(
-                        batch_arrays["input_ids"],
-                        batch_arrays["attention_mask"],
-                        segment_ids,
-                    )
-                    inference_time += perf_counter() - infer_start
+                    rank, means, counts = res
                     for row, entry in enumerate(chunk):
                         job = entry["job"]
                         n_frags = len(entry["ranges"])
@@ -618,10 +622,7 @@ class OpenProvenceModel:
                             "raw_blocks"
                         ].append((job["block_idx"], raw))
                 else:
-                    rank, keep = self._run_device_batch(
-                        batch_arrays["input_ids"], batch_arrays["attention_mask"]
-                    )
-                    inference_time += perf_counter() - infer_start
+                    rank, keep = res
                     for row, entry in enumerate(chunk):
                         job = entry["job"]
                         n_tokens = len(entry["input_ids"])
@@ -633,8 +634,39 @@ class OpenProvenceModel:
                         contexts_info[(job["query_idx"], job["context_idx"])][
                             "raw_blocks"
                         ].append((job["block_idx"], raw))
+            pending.clear()
+
+        for seq_len, entries in iterator:
+            for start in range(0, len(entries), batch_size):
+                chunk = entries[start : start + batch_size]
+                n_rows = self._bucket_rows(len(chunk), batch_size)
+                batch_arrays = pad_block_batch(chunk, seq_len, n_rows, pad_id)
+                infer_start = perf_counter()
+                if use_device_pooling:
+                    segment_ids = np.full((n_rows, seq_len), -1, dtype=np.int32)
+                    for row, entry in enumerate(chunk):
+                        for j, (frag_start, frag_end) in enumerate(entry["ranges"]):
+                            segment_ids[row, frag_start:frag_end] = j
+                    fn = self._pooled_forward_fn(n_rows, seq_len)
+                    ids, mask, segs = self._shard_inputs(
+                        batch_arrays["input_ids"],
+                        batch_arrays["attention_mask"],
+                        segment_ids,
+                    )
+                    res = fn(self.params, ids, mask, segs)
+                else:
+                    fn = self._forward_fn(n_rows, seq_len)
+                    ids, mask = self._shard_inputs(
+                        batch_arrays["input_ids"], batch_arrays["attention_mask"]
+                    )
+                    res = fn(self.params, ids, mask)
+                inference_time += perf_counter() - infer_start
+                pending.append((chunk, res))
+                if len(pending) >= FETCH_WINDOW:
+                    _drain()
                 if progress is not None:
                     progress.update(1)
+        _drain()
 
         if progress is not None:
             progress.close()
