@@ -90,7 +90,7 @@ class OpenProvenceModel:
         *,
         dtype: Any = None,
         attention_impl: str = "auto",
-        bucket_step: int = 64,
+        bucket_step: int | None = None,
         mesh: Any = None,
         tensor_parallel: bool = False,
         device_pooling: bool = True,
@@ -123,6 +123,15 @@ class OpenProvenceModel:
         self.max_length = int(config.max_length)
         self.default_threshold = config.default_threshold
         self.attention_impl = attention_impl
+        if bucket_step is None:
+            # On TPU, buckets must be 128-multiples or the packed flash
+            # kernel disengages (S % 128): a 448-token bucket silently ran
+            # XLA attention, ~1.5x the whole-model time of the 512 bucket.
+            # 128 trades ≤14% padding for keeping every bucket on the fast
+            # path; finer steps only pay on CPU/debug runs.
+            from ..ops.attention import _default_platform
+
+            bucket_step = 128 if _default_platform() == "tpu" else 64
         self.bucket_step = int(bucket_step)
         self.mesh = mesh
         # Device-side fragment mean pooling (ops/segment.py): exact only when
@@ -237,8 +246,8 @@ class OpenProvenceModel:
         module = self.module
         impl = self.attention_impl
 
-        def _run(params, input_ids, attention_mask, segment_ids):
-            from ..ops.segment import fragment_mean_pool
+        def _run(params, input_ids, attention_mask, frag_starts, frag_ends):
+            from ..ops.segment import fragment_mean_pool_ranges
 
             out = module.apply(
                 {"params": params},
@@ -249,8 +258,7 @@ class OpenProvenceModel:
             )
             rank = ranking_score_from_logits(out["ranking_logits"])  # [B]
             keep = keep_probs_from_logits(out["pruning_logits"])  # [B, S]
-            # F == S upper bound: every fragment has ≥1 token.
-            means, counts = fragment_mean_pool(keep, segment_ids, segment_ids.shape[1])
+            means, counts = fragment_mean_pool_ranges(keep, frag_starts, frag_ends)
             return rank, means, counts
 
         fn = jax.jit(_run)
@@ -261,17 +269,16 @@ class OpenProvenceModel:
         self,
         input_ids: np.ndarray,
         attention_mask: np.ndarray,
-        segment_ids: np.ndarray,
+        frag_starts: np.ndarray,
+        frag_ends: np.ndarray,
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         batch, seq_len = input_ids.shape
         fn = self._pooled_forward_fn(batch, seq_len)
-        ids, mask, segs = self._shard_inputs(input_ids, attention_mask, segment_ids)
-        rank, means, counts = fn(self.params, ids, mask, segs)
-        return (
-            np.asarray(jax.device_get(rank)),
-            np.asarray(jax.device_get(means)),
-            np.asarray(jax.device_get(counts)),
+        ids, mask, fs, fe = self._shard_inputs(
+            input_ids, attention_mask, frag_starts, frag_ends
         )
+        rank, means, counts = jax.device_get(fn(self.params, ids, mask, fs, fe))
+        return np.asarray(rank), np.asarray(means), np.asarray(counts)
 
     # --- raw prediction APIs ---------------------------------------------------
 
@@ -643,17 +650,22 @@ class OpenProvenceModel:
                 batch_arrays = pad_block_batch(chunk, seq_len, n_rows, pad_id)
                 infer_start = perf_counter()
                 if use_device_pooling:
-                    segment_ids = np.full((n_rows, seq_len), -1, dtype=np.int32)
+                    # F == seq_len upper bound keeps the jit cache keyed by
+                    # (batch, seq_len) only; empty slots have start == end.
+                    frag_starts = np.zeros((n_rows, seq_len), dtype=np.int32)
+                    frag_ends = np.zeros((n_rows, seq_len), dtype=np.int32)
                     for row, entry in enumerate(chunk):
                         for j, (frag_start, frag_end) in enumerate(entry["ranges"]):
-                            segment_ids[row, frag_start:frag_end] = j
+                            frag_starts[row, j] = frag_start
+                            frag_ends[row, j] = frag_end
                     fn = self._pooled_forward_fn(n_rows, seq_len)
-                    ids, mask, segs = self._shard_inputs(
+                    ids, mask, fs, fe = self._shard_inputs(
                         batch_arrays["input_ids"],
                         batch_arrays["attention_mask"],
-                        segment_ids,
+                        frag_starts,
+                        frag_ends,
                     )
-                    res = fn(self.params, ids, mask, segs)
+                    res = fn(self.params, ids, mask, fs, fe)
                 else:
                     fn = self._forward_fn(n_rows, seq_len)
                     ids, mask = self._shard_inputs(

@@ -98,3 +98,41 @@ def test_golden_sentence_loss_and_predict(pooling):
             else:
                 expected = seg[-1]
             np.testing.assert_allclose(probs[b, s], expected.numpy(), atol=1e-6)
+
+
+def test_fragment_mean_pool_ranges_matches_numpy():
+    """Cumsum-difference pooling must match direct numpy fragment means
+    (fragments are contiguous ranges)."""
+    import jax.numpy as jnp
+    from open_provence_tpu.ops.segment import (
+        fragment_mean_pool,
+        fragment_mean_pool_ranges,
+    )
+
+    rng = np.random.default_rng(11)
+    B, S = 4, 96
+    probs = rng.uniform(size=(B, S)).astype(np.float32)
+    starts = np.zeros((B, S), np.int32)
+    ends = np.zeros((B, S), np.int32)
+    seg_ids = np.full((B, S), -1, np.int32)
+    expected = np.zeros((B, S), np.float32)
+    for b in range(B):
+        pos, j = rng.integers(0, 8), 0
+        while pos < S and j < S:
+            ln = int(rng.integers(1, 12))
+            end = min(pos + ln, S)
+            starts[b, j], ends[b, j] = pos, end
+            seg_ids[b, pos:end] = j
+            expected[b, j] = probs[b, pos:end].mean()
+            pos = end + int(rng.integers(0, 3))  # occasional gap
+            j += 1
+    means, counts = fragment_mean_pool_ranges(
+        jnp.asarray(probs), jnp.asarray(starts), jnp.asarray(ends)
+    )
+    np.testing.assert_allclose(np.asarray(means), expected, atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(counts), (ends - starts).clip(min=0).astype(np.float32)
+    )
+    # and the segment-id variant agrees
+    m2, c2 = fragment_mean_pool(jnp.asarray(probs), jnp.asarray(seg_ids), S)
+    np.testing.assert_allclose(np.asarray(m2), expected, atol=1e-5)
