@@ -200,7 +200,7 @@ class OpenProvenceEncoder:
         pruning_config: dict[str, Any] | None = None,
         seed: int = 42,
         attention_impl: str = "auto",
-        bucket_step: int = 64,
+        bucket_step: int | None = None,
     ):
         if config is None or params is None:
             if model_name_or_path is None:
@@ -230,7 +230,13 @@ class OpenProvenceEncoder:
             tokenizer = AutoTokenizer.from_pretrained(str(model_name_or_path))
         self.tokenizer = tokenizer
         self.attention_impl = attention_impl
-        self.bucket_step = bucket_step
+        if bucket_step is None:
+            # Match the inference engine: TPU buckets must be 128-multiples
+            # or the packed flash path disengages (see engine.py).
+            from .ops.attention import _default_platform
+
+            bucket_step = 128 if _default_platform() == "tpu" else 64
+        self.bucket_step = int(bucket_step)
         self._jit_cache: dict[tuple[int, int], Callable] = {}
 
     # --- device forward -------------------------------------------------------
