@@ -1,27 +1,33 @@
 """Sentence → token → fragment splitting and greedy block packing.
 
-Pure host-side algorithms reproduced from the reference's long-context
-pipeline (modeling_open_provence_standalone.py:686-943, 2222-2259): the
-framework's answer to sequence parallelism is to keep every device-side
-sequence ≤ max_length by packing sentence fragments into blocks (SURVEY §5.7).
+Host-side long-context pipeline with the same observable behavior as the
+reference (modeling_open_provence_standalone.py:686-943, 2222-2259): every
+device-side sequence stays ≤ max_length by cutting sentences into token
+fragments and packing fragments into blocks (SURVEY §5.7).
 
 Device-facing difference vs the reference: blocks are later padded to
 *bucketed* fixed shapes (inference/engine.py) instead of pad-to-batch-max, so
-XLA compiles a small, fixed set of programs.
+XLA compiles a small, fixed set of programs. The packing plan itself is
+computed by the native C++ op (open_provence_tpu/native).
 """
 
 from __future__ import annotations
 
 from collections.abc import Mapping, Sequence
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
+from time import perf_counter
 from typing import Any
 
-from .splitters import SentenceSplitter
+from .splitters import DEFAULT_ENGLISH_SENTENCE_MAX_CHARS, SentenceSplitter
+
+# A fragment before decoding: (token_ids, sentence_idx, fragment_idx,
+# global_idx) — the tuple layout is part of the golden-test contract.
+Piece = tuple[list[int], int, int, int]
 
 
 @dataclass
 class FragmentRecord:
-    """Metadata for a context fragment (standalone:990-999)."""
+    """Decoded fragment metadata (counterpart of standalone:990-999)."""
 
     text: str
     sentence_index: int
@@ -36,245 +42,239 @@ def split_token_lists(
     max_fragment_tokens: int,
     *,
     keep_sentence_boundaries: bool = False,
-) -> list[tuple[list[int], int, int, int]]:
+) -> list[Piece]:
     """Cut each sentence's token list into fixed-stride fragments
-    (standalone:686-713). Returns (tokens, sentence_idx, fragment_idx,
-    global_idx) tuples."""
-    fragments: list[tuple[list[int], int, int, int]] = []
-    global_index = 0
-    step = max(1, int(max_fragment_tokens))
-    for sentence_index, token_ids in enumerate(token_lists):
-        tokens = list(token_ids)
-        if not tokens:
+    (standalone:686-713).
+
+    With ``keep_sentence_boundaries``, a sentence that fits within the
+    budget stays whole; longer sentences are strided regardless.
+    """
+    stride = max(1, int(max_fragment_tokens))
+    pieces: list[Piece] = []
+    for sent_idx, ids in enumerate(token_lists):
+        ids = list(ids)
+        n = len(ids)
+        if n == 0:
             continue
-        if keep_sentence_boundaries and len(tokens) <= max_fragment_tokens:
-            fragments.append((tokens, int(sentence_index), 0, global_index))
-            global_index += 1
-            continue
-        for fragment_index, start in enumerate(range(0, len(tokens), step)):
-            fragment_tokens = tokens[start : start + step]
-            if not fragment_tokens:
-                continue
-            fragments.append(
-                (fragment_tokens, int(sentence_index), int(fragment_index), global_index)
-            )
-            global_index += 1
-    return fragments
+        if keep_sentence_boundaries and n <= max_fragment_tokens:
+            starts = [0]
+        else:
+            starts = range(0, n, stride)
+        for frag_idx, lo in enumerate(starts):
+            pieces.append((ids[lo : lo + stride], sent_idx, frag_idx, len(pieces)))
+    return pieces
 
 
 def collect_candidate_sentences(
     example: Mapping[str, Any], splitter: SentenceSplitter
 ) -> list[str]:
-    """prefix sentences + (manual override | splitter output)
-    (standalone:615-630)."""
-    prefix_sentences = example.get("prefix_sentences") or []
-    manual_sentences = example.get("manual_sentences")
-    context_text = str(example.get("context_text", ""))
-    sentences: list[str] = [str(s) for s in prefix_sentences if s is not None]
-    if manual_sentences is not None:
-        sentences.extend(str(s) for s in manual_sentences if s is not None)
+    """Prefix sentences, then either the caller's manual sentences or the
+    splitter's output (standalone:615-630)."""
+    manual = example.get("manual_sentences")
+    body: Sequence[Any]
+    if manual is not None:
+        body = manual
     else:
-        sentences.extend(str(s) for s in splitter(context_text) if s is not None)
-    return sentences
+        body = splitter(str(example.get("context_text", "")))
+    head: Sequence[Any] = example.get("prefix_sentences") or []
+    return [str(item) for item in (*head, *body) if item is not None]
 
 
 def _split_multiline_sentence(text: str, strip_sentences: bool) -> list[str]:
-    """(standalone:582-612)"""
-    from .splitters import DEFAULT_ENGLISH_SENTENCE_MAX_CHARS
-
+    """Break a multi-line 'sentence' into its lines when it looks like a
+    line-oriented list rather than prose (standalone:582-612): at least two
+    non-blank lines, fewer .?! marks than lines, and no overlong line."""
+    whole = [text.strip() if strip_sentences else text]
     if "\n" not in text:
-        return [text.strip() if strip_sentences else text]
-    segments = text.splitlines(keepends=not strip_sentences)
-    meaningful = [segment for segment in segments if segment.strip()]
-    if len(meaningful) <= 1:
-        return [text.strip() if strip_sentences else text]
-    punctuation_count = sum(1 for ch in text if ch in ".?!")
-    if punctuation_count >= len(meaningful):
-        return [text.strip() if strip_sentences else text]
-    if any(len(seg.strip()) > DEFAULT_ENGLISH_SENTENCE_MAX_CHARS for seg in meaningful):
-        return [text.strip() if strip_sentences else text]
-    processed: list[str] = []
-    for segment in meaningful:
-        value = segment.strip() if strip_sentences else segment
-        if value:
-            processed.append(value)
-    return processed or [text.strip() if strip_sentences else text]
+        return whole
+    lines = [
+        seg
+        for seg in text.splitlines(keepends=not strip_sentences)
+        if seg.strip()
+    ]
+    if len(lines) <= 1:
+        return whole
+    if sum(text.count(mark) for mark in ".?!") >= len(lines):
+        return whole
+    if max(len(seg.strip()) for seg in lines) > DEFAULT_ENGLISH_SENTENCE_MAX_CHARS:
+        return whole
+    kept = [seg.strip() if strip_sentences else seg for seg in lines]
+    kept = [seg for seg in kept if seg]
+    return kept or whole
 
 
 def fallback_sentence(context_text: str, strip_sentences: bool) -> str:
     if not strip_sentences:
         return context_text
-    stripped = context_text.strip()
-    return stripped or context_text
+    return context_text.strip() or context_text
 
 
 def normalize_sentences(
     raw_sentences: Sequence[str], context_text: str, strip_sentences: bool
 ) -> list[str]:
-    """(standalone:640-661)"""
-    sentences: list[str] = []
-    for entry in raw_sentences:
-        text = str(entry)
-        if not text:
-            continue
-        for segment in _split_multiline_sentence(text, strip_sentences):
-            if segment:
-                sentences.append(segment)
-    if sentences:
-        return sentences
-    return [fallback_sentence(context_text, strip_sentences)]
+    """Flatten multi-line entries and drop empties; fall back to the whole
+    context when nothing survives (standalone:640-661)."""
+    out = [
+        piece
+        for entry in raw_sentences
+        if str(entry)
+        for piece in _split_multiline_sentence(str(entry), strip_sentences)
+        if piece
+    ]
+    return out or [fallback_sentence(context_text, strip_sentences)]
 
 
 def tokenize_sentences(tokenizer: Any, sentences: Sequence[str]) -> list[list[int]]:
     """Batch-encode sentences without special tokens (standalone:664-672)."""
     if not sentences:
         return []
-    tokenized = tokenizer(
+    encoded = tokenizer(
         list(sentences), add_special_tokens=False, return_attention_mask=False
     )
-    if isinstance(tokenized, Mapping):
-        return [list(ids) for ids in tokenized.get("input_ids", [])]
-    return [list(ids) for ids in getattr(tokenized, "input_ids", [])]
-
-
-def decode_and_filter_fragments(
-    tokenizer: Any,
-    fragments: Sequence[tuple[list[int], int, int, int]],
-    *,
-    strip_sentences: bool,
-) -> dict[str, list[Any]]:
-    """(standalone:846-894)"""
-    if not fragments:
-        return {
-            "fragment_texts": [],
-            "fragment_token_ids": [],
-            "fragment_sentence_index": [],
-            "fragment_fragment_index": [],
-            "fragment_global_index": [],
-        }
-    token_sequences = [tokens for tokens, _, _, _ in fragments]
-    fragment_texts = tokenizer.batch_decode(
-        token_sequences, skip_special_tokens=True, clean_up_tokenization_spaces=False
+    ids = (
+        encoded.get("input_ids", [])
+        if isinstance(encoded, Mapping)
+        else getattr(encoded, "input_ids", [])
     )
-    payload: dict[str, list[Any]] = {
-        "fragment_texts": [],
-        "fragment_token_ids": [],
-        "fragment_sentence_index": [],
-        "fragment_fragment_index": [],
-        "fragment_global_index": [],
-    }
-    for text, (tokens, sentence_idx, fragment_idx, global_idx) in zip(
-        fragment_texts, fragments
-    ):
-        processed_text = text.strip() if strip_sentences else text
-        if strip_sentences:
-            if not processed_text:
-                continue
-        else:
-            if not text:
-                continue
-        payload["fragment_texts"].append(processed_text)
-        payload["fragment_token_ids"].append(list(tokens))
-        payload["fragment_sentence_index"].append(sentence_idx)
-        payload["fragment_fragment_index"].append(fragment_idx)
+    return [list(row) for row in ids]
+
+
+_PAYLOAD_FIELDS = (
+    "fragment_texts",
+    "fragment_token_ids",
+    "fragment_sentence_index",
+    "fragment_fragment_index",
+    "fragment_global_index",
+)
+
+
+def _pieces_to_payload(rows: Sequence[tuple[str, Piece]]) -> dict[str, list[Any]]:
+    """Transpose (text, piece) rows into the columnar fragment payload."""
+    payload: dict[str, list[Any]] = {field: [] for field in _PAYLOAD_FIELDS}
+    for text, (ids, sent_idx, frag_idx, global_idx) in rows:
+        payload["fragment_texts"].append(text)
+        payload["fragment_token_ids"].append(list(ids))
+        payload["fragment_sentence_index"].append(sent_idx)
+        payload["fragment_fragment_index"].append(frag_idx)
         payload["fragment_global_index"].append(global_idx)
     return payload
 
 
+def decode_and_filter_fragments(
+    tokenizer: Any,
+    pieces: Sequence[Piece],
+    *,
+    strip_sentences: bool,
+) -> dict[str, list[Any]]:
+    """Decode fragment token ids back to text and drop fragments whose text
+    is empty (after stripping, when requested) (standalone:846-894)."""
+    if not pieces:
+        return _pieces_to_payload([])
+    texts = tokenizer.batch_decode(
+        [ids for ids, *_ in pieces],
+        skip_special_tokens=True,
+        clean_up_tokenization_spaces=False,
+    )
+    rows: list[tuple[str, Piece]] = []
+    for text, piece in zip(texts, pieces):
+        shown = text.strip() if strip_sentences else text
+        if shown if strip_sentences else text:
+            rows.append((shown, piece))
+    return _pieces_to_payload(rows)
+
+
 def fragmentize_job(
     tokenizer: Any,
-    job: dict[str, Any],
+    job: Mapping[str, Any],
     *,
     max_fragment_tokens: int,
     splitter: SentenceSplitter,
     strip_sentences: bool,
     respect_sentence_boundaries: bool,
 ) -> dict[str, Any]:
-    """Full fragmentation of one preprocessing job (standalone:897-943),
-    with the reference's per-stage timing keys (standalone:934-941)."""
-    from time import perf_counter
+    """Full fragmentation of one preprocessing job (standalone:897-943) with
+    the reference's per-stage timing keys (standalone:934-941).
 
+    ``cached_sentences`` / ``cached_token_lists`` short-circuit the split and
+    tokenize stages when the engine precomputed them.
+    """
     context_text = str(job.get("context_text", ""))
+    timings = dict.fromkeys(
+        (
+            "timing_sentence_collect",
+            "timing_sentence_normalize",
+            "timing_tokenize",
+            "timing_fragment_split",
+            "timing_fragment_decode",
+        ),
+        0.0,
+    )
+
+    def timed(key: str, fn, *args):
+        tick = perf_counter()
+        value = fn(*args)
+        timings[key] += perf_counter() - tick
+        return value
+
     cached_sentences = job.get("cached_sentences")
-    collect_time = normalize_time = 0.0
-    if cached_sentences is not None:
-        sentences = [str(s) for s in cached_sentences]
-    else:
-        start = perf_counter()
-        raw = collect_candidate_sentences(job, splitter)
-        collect_time = perf_counter() - start
-        start = perf_counter()
-        sentences = normalize_sentences(raw, context_text, strip_sentences)
-        normalize_time = perf_counter() - start
-
-    cached_token_lists = job.get("cached_token_lists")
-    tokenize_time = 0.0
-    if cached_token_lists is not None:
-        token_lists = [[int(t) for t in tokens] for tokens in cached_token_lists]
-    else:
-        start = perf_counter()
-        token_lists = tokenize_sentences(tokenizer, sentences)
-        tokenize_time = perf_counter() - start
-
-    start = perf_counter()
-    fragments = split_token_lists(
-        token_lists,
-        max_fragment_tokens,
-        keep_sentence_boundaries=respect_sentence_boundaries,
-    )
-    split_time = perf_counter() - start
-    if not fragments:
-        fallback_source = fallback_sentence(context_text, strip_sentences)
-        fallback_tokens = tokenizer.encode(fallback_source, add_special_tokens=False)
-        fragments = [(list(fallback_tokens), 0, 0, 0)]
-
-    start = perf_counter()
-    payload = decode_and_filter_fragments(
-        tokenizer, fragments, strip_sentences=strip_sentences
-    )
-    decode_time = perf_counter() - start
-    if not payload["fragment_token_ids"]:
-        tokens, sentence_idx, fragment_idx, global_idx = fragments[0]
-        decoded_text = tokenizer.decode(
-            tokens, skip_special_tokens=True, clean_up_tokenization_spaces=False
+    if cached_sentences is None:
+        raw = timed("timing_sentence_collect", collect_candidate_sentences, job, splitter)
+        sentences = timed(
+            "timing_sentence_normalize", normalize_sentences, raw, context_text, strip_sentences
         )
-        processed_text = decoded_text.strip() if strip_sentences else decoded_text
-        payload = {
-            "fragment_texts": [processed_text],
-            "fragment_token_ids": [list(tokens)],
-            "fragment_sentence_index": [sentence_idx],
-            "fragment_fragment_index": [fragment_idx],
-            "fragment_global_index": [global_idx],
-        }
-    entry = {
-        "sentences": sentences,
-        "timing_sentence_collect": collect_time,
-        "timing_sentence_normalize": normalize_time,
-        "timing_tokenize": tokenize_time,
-        "timing_fragment_split": split_time,
-        "timing_fragment_decode": decode_time,
-    }
-    entry.update(payload)
-    return entry
+    else:
+        sentences = [str(s) for s in cached_sentences]
+
+    cached_tokens = job.get("cached_token_lists")
+    if cached_tokens is None:
+        token_lists = timed("timing_tokenize", tokenize_sentences, tokenizer, sentences)
+    else:
+        token_lists = [[int(t) for t in ids] for ids in cached_tokens]
+
+    pieces = timed(
+        "timing_fragment_split",
+        lambda: split_token_lists(
+            token_lists,
+            max_fragment_tokens,
+            keep_sentence_boundaries=respect_sentence_boundaries,
+        ),
+    )
+    if not pieces:
+        whole = fallback_sentence(context_text, strip_sentences)
+        pieces = [(list(tokenizer.encode(whole, add_special_tokens=False)), 0, 0, 0)]
+
+    payload = timed(
+        "timing_fragment_decode",
+        lambda: decode_and_filter_fragments(tokenizer, pieces, strip_sentences=strip_sentences),
+    )
+    if not payload["fragment_token_ids"]:
+        # Everything decoded to empty text: keep the first fragment anyway so
+        # downstream always sees at least one (standalone's fallback).
+        ids, sent_idx, frag_idx, global_idx = pieces[0]
+        decoded = tokenizer.decode(
+            ids, skip_special_tokens=True, clean_up_tokenization_spaces=False
+        )
+        shown = decoded.strip() if strip_sentences else decoded
+        payload = _pieces_to_payload([(shown, (ids, sent_idx, frag_idx, global_idx))])
+
+    return {"sentences": sentences, **timings, **payload}
 
 
 def fragments_from_payload(payload: Mapping[str, Any]) -> list[FragmentRecord]:
+    """Columnar fragment payload → FragmentRecord list."""
+    columns = [list(payload.get(field, [])) for field in _PAYLOAD_FIELDS]
+    texts, id_lists, sent_idxs, frag_idxs, global_idxs = columns
     records: list[FragmentRecord] = []
-    texts = payload.get("fragment_texts", [])
-    token_id_lists = payload.get("fragment_token_ids", [])
-    sentence_indices = payload.get("fragment_sentence_index", [])
-    fragment_indices = payload.get("fragment_fragment_index", [])
-    global_indices = payload.get("fragment_global_index", [])
-    for idx, text in enumerate(texts):
-        tokens = list(token_id_lists[idx]) if idx < len(token_id_lists) else []
+    for pos, text in enumerate(texts):
+        ids = list(id_lists[pos]) if pos < len(id_lists) else []
         records.append(
             FragmentRecord(
                 text=text,
-                sentence_index=int(sentence_indices[idx]) if idx < len(sentence_indices) else 0,
-                fragment_index=int(fragment_indices[idx]) if idx < len(fragment_indices) else 0,
-                global_index=int(global_indices[idx]) if idx < len(global_indices) else idx,
-                token_length=len(tokens),
-                token_ids=tokens,
+                sentence_index=int(sent_idxs[pos]) if pos < len(sent_idxs) else 0,
+                fragment_index=int(frag_idxs[pos]) if pos < len(frag_idxs) else 0,
+                global_index=int(global_idxs[pos]) if pos < len(global_idxs) else pos,
+                token_length=len(ids),
+                token_ids=ids,
             )
         )
     return records
@@ -283,22 +283,19 @@ def fragments_from_payload(payload: Mapping[str, Any]) -> list[FragmentRecord]:
 def truncate_fragment(
     tokenizer: Any, fragment: FragmentRecord, max_tokens: int
 ) -> FragmentRecord:
-    """(standalone:2082-2102)"""
-    if max_tokens <= 0:
-        max_tokens = 1
-    if fragment.token_length <= max_tokens:
+    """Clip an oversize fragment to ``max_tokens`` and re-decode its text
+    (standalone:2082-2102)."""
+    budget = max(1, max_tokens)
+    if fragment.token_length <= budget:
         return fragment
-    new_tokens = fragment.token_ids[:max_tokens]
-    new_text = tokenizer.decode(
-        new_tokens, skip_special_tokens=True, clean_up_tokenization_spaces=False
-    )
-    return FragmentRecord(
-        text=new_text,
-        sentence_index=fragment.sentence_index,
-        fragment_index=fragment.fragment_index,
-        global_index=fragment.global_index,
-        token_length=len(new_tokens),
-        token_ids=list(new_tokens),
+    ids = fragment.token_ids[:budget]
+    return replace(
+        fragment,
+        text=tokenizer.decode(
+            ids, skip_special_tokens=True, clean_up_tokenization_spaces=False
+        ),
+        token_length=len(ids),
+        token_ids=ids,
     )
 
 
@@ -313,28 +310,28 @@ def assemble_blocks(
     (standalone:2222-2259): available = max_length − 2 specials; oversize
     fragments truncated to the remaining capacity. The packing plan is
     computed by the native op (open_provence_tpu/native); truncation text
-    decoding stays host-Python (needs the tokenizer)."""
+    decoding stays host-Python (it needs the tokenizer)."""
     if not fragments:
         return []
-    available_len = max_length - 2  # [CLS], [SEP]
-    base_len = query_token_length + sep_token_length
-    max_fragment_capacity = max(1, available_len - base_len)
+    room = max_length - 2  # [CLS], [SEP]
+    fixed = query_token_length + sep_token_length
+    capacity = max(1, room - fixed)
 
     from ..native import greedy_pack
 
     block_ids, new_lens, n_blocks = greedy_pack(
-        [f.token_length for f in fragments], base_len, available_len
+        [f.token_length for f in fragments], fixed, room
     )
     blocks: list[list[FragmentRecord]] = [[] for _ in range(n_blocks)]
     for fragment, block_id, new_len in zip(fragments, block_ids, new_lens):
         if new_len < fragment.token_length:
-            fragment = truncate_fragment(tokenizer, fragment, max_fragment_capacity)
+            fragment = truncate_fragment(tokenizer, fragment, capacity)
         blocks[int(block_id)].append(fragment)
     return blocks
 
 
 def max_fragment_tokens_for(max_length: int, respect_sentence_boundaries: bool) -> int:
-    """(standalone:3490-3493)"""
-    if respect_sentence_boundaries:
-        return max(16, max_length - 2)
-    return max(16, max_length // 2)
+    """Fragment budget: half the window normally, the whole window (minus
+    specials) when sentence boundaries must be respected (standalone:3490-3493)."""
+    budget = max_length - 2 if respect_sentence_boundaries else max_length // 2
+    return max(16, budget)

@@ -1,130 +1,146 @@
 """Language-routed sentence splitting (host-side, device-free).
 
-Reimplements the reference's splitter stack
-(modeling_open_provence_standalone.py:135-155, 1002-1143):
+Behavioral counterpart of the reference's splitter stack
+(modeling_open_provence_standalone.py:135-155, 1002-1143), built around
+different machinery:
 
-* ``is_japanese_fast`` — kana-density detector,
-* ``simple_sentence_splitter`` — regex Japanese splitter (。！？!?\\n ends),
-* English splitter — bullet-aware block iteration + Punkt span_tokenize with
-  whitespace-preserving spans and deterministic max-chars clipping; when NLTK
-  punkt data is unavailable (offline environments) a regex splitter with the
-  same whitespace-preserving contract is used,
+* ``is_japanese_fast`` — kana-density detector (regex scan, early exit),
+* ``simple_sentence_splitter`` — Japanese splitter driven by a terminator
+  scan over 。！？!? and newlines,
+* English splitter — cut-point block segmentation at bullet-style headings,
+  Punkt ``span_tokenize`` per block when its data is installed (with a
+  regex span tokenizer for offline environments), whitespace-preserving
+  sentence slices, deterministic overlong clipping,
 * ``create_auto_sentence_splitter`` — kana detection routes ja vs en.
 
-The reference additionally supports fast-bunkai for Japanese; that library is
-Rust and not available here, so Japanese routing uses the regex splitter,
-which the reference itself ships as the documented fallback
-(standalone:1018-1029).
+The reference prefers fast-bunkai for Japanese when installed
+(standalone:1002-1016); this module mirrors that opportunism behind a lazy
+import and otherwise uses the terminator-scan splitter, which matches the
+reference's own documented fallback (standalone:1018-1029).
 """
 
 from __future__ import annotations
 
-import math
 import re
-from collections.abc import Callable, Iterable
+from collections.abc import Callable
 
 SentenceSplitter = Callable[[str], list[str]]
 
 DEFAULT_ENGLISH_SENTENCE_MAX_CHARS = 1200
 
-_BULLET_PREFIX_RE = re.compile(
-    r"""^\s*(?:[\-\*••]+|\d{1,4}[:.)]|[A-Za-z]{1}[:.)])\s+""",
-    re.UNICODE,
-)
+SUPPORTED_SPLITTER_LANGUAGES = frozenset({"ja", "en", "auto"})
 
-SUPPORTED_SPLITTER_LANGUAGES = {"ja", "en", "auto"}
+# Hiragana, katakana (incl. phonetic extensions), and half-width katakana
+# letter ranges. Kanji intentionally excluded: the detector keys on kana
+# density, so kanji-only CJK text (likely Chinese) is not routed to ja.
+_KANA_RE = re.compile("[ぁ-ゖァ-ヺㇰ-ㇿｱ-ﾝ]")
 
+# One leading bullet/number/letter marker followed by whitespace.
+_BULLET_RE = re.compile(r"^\s*(?:[-*••]+|\d{1,4}[:.)]|[A-Za-z][:.)])\s+")
 
-def _is_kana_letter_cp(cp: int) -> bool:
-    if 0x3041 <= cp <= 0x3096:  # Hiragana letters
-        return True
-    if 0x30A1 <= cp <= 0x30FA:  # Katakana letters
-        return True
-    if 0x31F0 <= cp <= 0x31FF:  # Katakana phonetic extensions
-        return True
-    if 0xFF71 <= cp <= 0xFF9D:  # Half-width katakana letters
-        return True
-    return False
+_JA_TERMINATOR_RE = re.compile("[。！？!?\n]")
 
 
 def is_japanese_fast(text: str, window: int = 500, min_kana_per_window: int = 1) -> bool:
-    """Classify text as Japanese when kana density exceeds the threshold
-    (reference standalone:135-155)."""
-    if not text:
+    """True when the text carries at least ``min_kana_per_window`` kana
+    letters per ``window`` chars (reference standalone:135-155)."""
+    if not text or text.isascii():
         return False
-    if text.isascii():
+    need = -(-len(text) // window) * min_kana_per_window  # ceil-div
+    if need <= 0:
         return False
-    required = math.ceil(len(text) / window) * min_kana_per_window
-    if required <= 0:
-        return False
-    count = 0
-    for ch in text:
-        cp = ord(ch)
-        if cp > 0x7F and _is_kana_letter_cp(cp):
-            count += 1
-            if count >= required:
-                return True
+    seen = 0
+    for _ in _KANA_RE.finditer(text):
+        seen += 1
+        if seen >= need:
+            return True
     return False
 
 
 def simple_sentence_splitter(text: str) -> list[str]:
-    """Regex Japanese splitter (standalone:1018-1029)."""
+    """Japanese splitter: each sentence runs up to (and includes) the first
+    terminator found at least one char past its start; the tail without a
+    terminator is its own sentence (reference standalone:1018-1029)."""
     if not text:
         return []
-    pattern = re.compile(r".+?(?:。|！|？|!|\?|\n|$)", re.S)
-    sentences = [match for match in pattern.findall(text) if match]
-    if sentences:
-        return sentences
-    return [text] if text else []
+    pieces: list[str] = []
+    pos = 0
+    n = len(text)
+    while pos < n:
+        hit = _JA_TERMINATOR_RE.search(text, pos + 1)
+        if hit is None:
+            pieces.append(text[pos:])
+            break
+        pieces.append(text[pos : hit.end()])
+        pos = hit.end()
+    return pieces
+
+
+def _fast_bunkai():
+    """Opportunistic fast-bunkai import (reference standalone:1002-1016);
+    returns a splitter or None. Cached after first probe."""
+    global _FAST_BUNKAI_SPLITTER, _FAST_BUNKAI_PROBED
+    if _FAST_BUNKAI_PROBED:
+        return _FAST_BUNKAI_SPLITTER
+    _FAST_BUNKAI_PROBED = True
+    try:
+        from fast_bunkai import FastBunkai  # type: ignore[import-not-found]
+
+        engine = FastBunkai()
+
+        def _split(text: str) -> list[str]:
+            return [piece for piece in engine(text) if piece]
+
+        _FAST_BUNKAI_SPLITTER = _split
+    except Exception:
+        _FAST_BUNKAI_SPLITTER = None
+    return _FAST_BUNKAI_SPLITTER
+
+
+_FAST_BUNKAI_SPLITTER: SentenceSplitter | None = None
+_FAST_BUNKAI_PROBED = False
 
 
 def japanese_sentence_splitter(text: str) -> list[str]:
-    """Default Japanese splitter. The reference prefers fast-bunkai (Rust)
-    with this regex splitter as the documented fallback."""
+    """Japanese routing: fast-bunkai when installed, terminator-scan
+    otherwise."""
+    bunkai = _fast_bunkai()
+    if bunkai is not None:
+        return bunkai(text)
     return simple_sentence_splitter(text)
 
 
-def _looks_like_bullet_line(line: str) -> bool:
-    return bool(_BULLET_PREFIX_RE.match(line))
+def _iter_english_blocks(text: str):
+    """Yield ``(block_text, start, end)`` slices of ``text``, cutting before
+    every bullet-style line except one at offset 0 (standalone:485-529).
 
-
-def _iter_english_blocks(text: str) -> Iterable[tuple[str, int, int]]:
-    """Yield (block_text, start, end) groups of adjacent lines, breaking at
-    bullet-style headings (standalone:485-529)."""
+    Implemented as cut-point segmentation: collect the offsets of bullet
+    lines, then slice the text between consecutive cuts.
+    """
     if not text:
         return
-    total_len = len(text)
-    lines = text.splitlines(keepends=True)
-    if not lines:
-        if text:
-            yield text, 0, total_len
-        return
+    cuts: list[int] = []
+    offset = 0
+    for line in text.splitlines(keepends=True):
+        if offset and _BULLET_RE.match(line.rstrip("\r\n")):
+            cuts.append(offset)
+        offset += len(line)
+    edges = [0, *cuts, len(text)]
+    for lo, hi in zip(edges, edges[1:]):
+        if hi > lo:
+            yield text[lo:hi], lo, hi
 
-    accumulated = 0
-    current_parts: list[str] = []
-    current_start = 0
-    for line in lines:
-        line_start = accumulated
-        accumulated += len(line)
-        plain_line = line.rstrip("\r\n")
-        if _looks_like_bullet_line(plain_line) and current_parts:
-            block_text = "".join(current_parts)
-            if block_text:
-                yield block_text, current_start, current_start + len(block_text)
-            current_parts = [line]
-            current_start = line_start
-        else:
-            if not current_parts:
-                current_start = line_start
-            current_parts.append(line)
-    if current_parts:
-        block_text = "".join(current_parts)
-        if block_text:
-            yield block_text, current_start, current_start + len(block_text)
-    if accumulated < total_len:
-        remainder = text[accumulated:]
-        if remainder:
-            yield remainder, accumulated, total_len
+
+def _clip_boundary(working: str, lo: int, hi: int) -> int:
+    """Boundary for one overlong-clip chunk in ``(lo, hi]``: after the last
+    newline if any, else after the last sentence punctuation, else ``hi``."""
+    nl = working.rfind("\n", lo + 1, hi)
+    if nl > lo:
+        return nl + 1
+    for idx in range(hi, lo, -1):
+        if working[idx - 1] in ".?!;:\n":
+            return idx
+    return hi
 
 
 def split_overlong_sentence(
@@ -133,67 +149,55 @@ def split_overlong_sentence(
     *,
     preserve_whitespace: bool = False,
 ) -> list[str]:
-    """Clip a sentence to ≤max_chars chunks, preferring newline then
-    punctuation boundaries (standalone:532-579)."""
+    """Deterministically clip a sentence into ≤``max_chars`` chunks at
+    newline-then-punctuation boundaries (standalone:532-579)."""
     working = sentence if preserve_whitespace else sentence.strip()
     if not working:
         return []
     if len(working) <= max_chars:
-        return [working if preserve_whitespace else working.strip()]
+        return [working]
 
-    chunks: list[str] = []
-    start = 0
-    length = len(working)
-    punctuation = ".?!;:\n"
-    while start < length:
-        target = min(start + max_chars, length)
-        newline_idx = working.rfind("\n", start + 1, target)
-        boundary: int | None = None
-        if newline_idx != -1 and newline_idx >= start + 1:
-            boundary = newline_idx + 1
-        if boundary is None or boundary <= start:
-            for idx in range(target, start, -1):
-                if working[idx - 1] in punctuation:
-                    boundary = idx
-                    break
-        if boundary is None or boundary <= start:
-            boundary = target
-        chunk = working[start:boundary]
-        if not preserve_whitespace:
-            chunk = chunk.strip()
-        if chunk:
-            chunks.append(chunk)
-        start = boundary
-    return chunks or ([working] if preserve_whitespace else [working.strip()])
+    out: list[str] = []
+    lo, n = 0, len(working)
+    while lo < n:
+        hi = min(lo + max_chars, n)
+        cut = _clip_boundary(working, lo, hi)
+        piece = working[lo:cut] if preserve_whitespace else working[lo:cut].strip()
+        if piece:
+            out.append(piece)
+        lo = cut
+    return out or [working]
 
 
 # --- English sentence span tokenization -----------------------------------
 
-_PUNKT_TOKENIZER = None
-_PUNKT_CHECKED = False
+_PUNKT_CACHE: dict[str, object] = {}
 
-_ABBREVIATIONS = {
-    "mr", "mrs", "ms", "dr", "prof", "sr", "jr", "st", "etc", "vs", "e.g",
-    "i.e", "fig", "no", "vol", "inc", "ltd", "co", "corp", "dept", "univ",
-    "approx", "est", "min", "max", "u.s", "u.k", "a.m", "p.m",
-}
+_ABBREVIATIONS = frozenset(
+    {
+        "mr", "mrs", "ms", "dr", "prof", "sr", "jr", "st", "etc", "vs", "e.g",
+        "i.e", "fig", "no", "vol", "inc", "ltd", "co", "corp", "dept", "univ",
+        "approx", "est", "min", "max", "u.s", "u.k", "a.m", "p.m",
+    }
+)
 
 _REGEX_SENT_END = re.compile(r"[.!?]+[\"')\]]*")
 
 
-def _get_punkt():
-    """Load NLTK punkt if its data is present; never raises, never downloads."""
-    global _PUNKT_TOKENIZER, _PUNKT_CHECKED
-    if _PUNKT_CHECKED:
-        return _PUNKT_TOKENIZER
-    _PUNKT_CHECKED = True
+def load_punkt(language: str = "english"):
+    """Load an NLTK punkt model if its data is present; never raises, never
+    downloads. Cached per language."""
+    if language in _PUNKT_CACHE:
+        return _PUNKT_CACHE[language]
+    model = None
     try:
         import nltk
 
-        _PUNKT_TOKENIZER = nltk.data.load("tokenizers/punkt/english.pickle")
+        model = nltk.data.load(f"tokenizers/punkt/{language}.pickle")
     except Exception:
-        _PUNKT_TOKENIZER = None
-    return _PUNKT_TOKENIZER
+        model = None
+    _PUNKT_CACHE[language] = model
+    return model
 
 
 def _regex_span_tokenize(text: str) -> list[tuple[int, int]]:
@@ -237,58 +241,60 @@ def _regex_span_tokenize(text: str) -> list[tuple[int, int]]:
     return spans
 
 
-def _span_tokenize(block_text: str) -> list[tuple[int, int]]:
-    punkt = _get_punkt()
-    if punkt is not None:
-        return list(punkt.span_tokenize(block_text))
-    return _regex_span_tokenize(block_text)
+class _EnglishSplitter:
+    """Whitespace-preserving English splitter (standalone:1032-1117).
+
+    Pipeline per input text: block segmentation at bullet headings →
+    per-block sentence spans (punkt when available, regex otherwise) →
+    each span extended through its trailing whitespace (bounded by the
+    block) → overlong clipping. Concatenating the output reproduces the
+    source text up to leading whitespace before the first sentence.
+    """
+
+    def __init__(self, max_chars: int):
+        if max_chars <= 0:
+            raise ValueError("max_chars must be positive")
+        self.max_chars = max_chars
+
+    def _spans(self, block_text: str) -> list[tuple[int, int]]:
+        punkt = load_punkt()
+        if punkt is not None:
+            return list(punkt.span_tokenize(block_text))  # type: ignore[attr-defined]
+        return _regex_span_tokenize(block_text)
+
+    def _clip(self, segment: str) -> list[str]:
+        return split_overlong_sentence(
+            segment, max_chars=self.max_chars, preserve_whitespace=True
+        )
+
+    def __call__(self, text: str) -> list[str]:
+        if not text:
+            return []
+        sentences: list[str] = []
+        for block_text, block_lo, block_hi in _iter_english_blocks(text):
+            spans = self._spans(block_text)
+            if not spans:
+                if block_text.strip():
+                    sentences.extend(self._clip(block_text))
+                continue
+            for span_lo, span_hi in spans:
+                # Absorb trailing whitespace so the slices tile the block.
+                end = block_lo + span_hi
+                while end < block_hi and text[end].isspace():
+                    end += 1
+                segment = text[block_lo + span_lo : end]
+                if segment.strip():
+                    sentences.extend(self._clip(segment))
+        if sentences:
+            return sentences
+        tail = text.strip()
+        return [tail] if tail else []
 
 
 def create_english_sentence_splitter(
     max_chars: int = DEFAULT_ENGLISH_SENTENCE_MAX_CHARS,
 ) -> SentenceSplitter:
-    """Whitespace-preserving English splitter (standalone:1032-1117):
-    block iteration → span tokenization → trailing-whitespace extension →
-    overlong clipping."""
-    if max_chars <= 0:
-        raise ValueError("max_chars must be positive")
-
-    def _split_text(text: str) -> list[str]:
-        if not text:
-            return []
-        sentences: list[str] = []
-        for block_text, block_start, block_end in _iter_english_blocks(text):
-            if not block_text:
-                continue
-            spans = _span_tokenize(block_text)
-            if not spans:
-                segment = text[block_start:block_end]
-                if segment.strip():
-                    sentences.extend(
-                        split_overlong_sentence(
-                            segment, max_chars=max_chars, preserve_whitespace=True
-                        )
-                    )
-                continue
-            for span_start, span_end in spans:
-                global_start = block_start + span_start
-                global_end = block_start + span_end
-                extended_end = global_end
-                while extended_end < block_end and text[extended_end].isspace():
-                    extended_end += 1
-                segment = text[global_start:extended_end]
-                if segment and segment.strip():
-                    sentences.extend(
-                        split_overlong_sentence(
-                            segment, max_chars=max_chars, preserve_whitespace=True
-                        )
-                    )
-        if sentences:
-            return sentences
-        fallback = text.strip()
-        return [fallback] if fallback else []
-
-    return _split_text
+    return _EnglishSplitter(max_chars)
 
 
 _DEFAULT_ENGLISH_SENTENCE_SPLITTER = create_english_sentence_splitter()
@@ -305,35 +311,40 @@ def create_auto_sentence_splitter(
     kana_window: int = 500,
     min_kana_per_window: int = 1,
 ) -> SentenceSplitter:
-    def _split_text(text: str) -> list[str]:
-        if is_japanese_fast(text, window=kana_window, min_kana_per_window=min_kana_per_window):
-            return japanese_splitter(text)
-        return english_splitter(text)
+    def _route(text: str) -> list[str]:
+        detected_ja = is_japanese_fast(
+            text, window=kana_window, min_kana_per_window=min_kana_per_window
+        )
+        return japanese_splitter(text) if detected_ja else english_splitter(text)
 
-    return _split_text
+    return _route
 
 
 def resolve_sentence_splitter(
     splitter: SentenceSplitter | dict | None, language: str | None
 ) -> SentenceSplitter:
-    """Mirror of the reference's splitter resolution
-    (standalone:2007-2039)."""
+    """Splitter resolution: explicit callable > per-language mapping >
+    built-in by language code (standalone:2007-2039)."""
     if isinstance(splitter, dict):
         if language is None:
             raise ValueError("language must be provided when sentence_splitter is a mapping")
-        if language in splitter:
+        try:
             return splitter[language]
-        raise ValueError(f"No sentence splitter registered for language '{language}'")
+        except KeyError:
+            raise ValueError(
+                f"No sentence splitter registered for language '{language}'"
+            ) from None
     if callable(splitter):
         return splitter
     lang = (language or "auto").lower()
-    if lang == "auto":
-        return create_auto_sentence_splitter()
-    if lang == "ja":
-        return japanese_sentence_splitter
-    if lang == "en":
-        return english_sentence_splitter
-    raise ValueError(
-        f"Unsupported language code for sentence splitting: '{lang}'. "
-        "Supported values are 'auto', 'en', and 'ja'."
-    )
+    builders: dict[str, Callable[[], SentenceSplitter]] = {
+        "auto": create_auto_sentence_splitter,
+        "ja": lambda: japanese_sentence_splitter,
+        "en": lambda: english_sentence_splitter,
+    }
+    if lang not in builders:
+        raise ValueError(
+            f"Unsupported language code for sentence splitting: '{lang}'. "
+            "Supported values are 'auto', 'en', and 'ja'."
+        )
+    return builders[lang]()
