@@ -103,7 +103,10 @@ def load_naver_process_fn(
 
     kwargs: dict[str, Any] = {"trust_remote_code": True}
     if torch_dtype is not None:
-        kwargs["dtype"] = torch_dtype
+        # Older transformers silently ignore an unknown ``dtype`` kwarg,
+        # loading fp32 with no warning; ``torch_dtype`` is accepted by all
+        # versions (a deprecated alias on current ones).
+        kwargs["torch_dtype"] = torch_dtype
     model = auto_model_cls.from_pretrained(model_identifier, **kwargs)
     if device:
         model = model.to(device)

@@ -51,10 +51,10 @@ from ..utils.tracing import ProcessPerformanceTrace
 from .batching import bucket_batch, bucket_length, length_buckets, pad_block_batch
 from .inputs import normalize_inputs, resolve_prefix_sentences, resolve_titles
 from .postprocess import (
-    RawBlockPrediction,
-    apply_reordering,
-    postprocess_contexts,
-    restore_output_shape,
+    BlockScores,
+    build_payload,
+    reorder_outcomes,
+    summarize_contexts,
 )
 
 LOGGER = logging.getLogger(__name__)
@@ -287,71 +287,67 @@ class OpenProvenceModel:
     ) -> OpenProvenceRawPrediction:
         return self.get_raw_predictions_batch(query, [list(contexts)])[0]
 
+    def _queries_for_batch(
+        self, query: str | Sequence[str], n_rows: int
+    ) -> list[str]:
+        """Broadcast a scalar query / validate a per-row query list."""
+        if isinstance(query, str) or not isinstance(query, Sequence):
+            return [str(query)] * n_rows
+        rows = [str(entry) for entry in query]
+        if len(rows) != n_rows:
+            raise ValueError(
+                "When providing multiple queries, their count must match contexts_batch."
+            )
+        return rows
+
     def get_raw_predictions_batch(
         self,
         query: str | Sequence[str],
         contexts_batch: Sequence[Sequence[str]],
         batch_size: int | None = None,
     ) -> list[OpenProvenceRawPrediction]:
-        """(standalone:1752-1841) — joint encode of query + joined contexts,
-        returning per-token keep probs and per-context token ranges."""
+        """Joint forward over ``query [SEP] ctx0 ctx1 …`` rows, returning
+        per-token keep probabilities plus each context's token range
+        (behavior of standalone:1752-1841)."""
         if not contexts_batch:
             return []
-        sep_token = self.tokenizer.sep_token or ""
-        if batch_size is None or batch_size <= 0:
-            batch_size = len(contexts_batch)
-
-        if isinstance(query, Sequence) and not isinstance(query, str):
-            query_list = [str(entry) for entry in query]
-            if len(query_list) != len(contexts_batch):
-                raise ValueError(
-                    "When providing multiple queries, their count must match contexts_batch."
-                )
-        else:
-            query_list = [str(query)] * len(contexts_batch)
+        step = batch_size if batch_size and batch_size > 0 else len(contexts_batch)
+        queries = self._queries_for_batch(query, len(contexts_batch))
+        sep = self.tokenizer.sep_token or ""
+        buckets = length_buckets(self.max_length, self.bucket_step)
 
         results: list[OpenProvenceRawPrediction] = []
-        buckets = length_buckets(self.max_length, self.bucket_step)
-        pad_id = self.tokenizer.pad_token_id
-
-        for start in range(0, len(contexts_batch), batch_size):
-            chunk = contexts_batch[start : start + batch_size]
-            chunk_queries = query_list[start : start + batch_size]
-            combined = [
-                chunk_queries[idx] + sep_token + "".join(contexts)
-                for idx, contexts in enumerate(chunk)
+        for lo in range(0, len(contexts_batch), step):
+            rows = [
+                (queries[i], [str(c) for c in contexts_batch[i]])
+                for i in range(lo, min(lo + step, len(contexts_batch)))
             ]
-            encoded = self.tokenizer.tokenizer(
-                combined,
+            id_rows = self.tokenizer.tokenizer(
+                [q + sep + "".join(ctxs) for q, ctxs in rows],
                 padding=False,
                 truncation=True,
                 max_length=self.max_length,
+            )["input_ids"]
+            longest = max((len(ids) for ids in id_rows), default=1)
+            padded = pad_block_batch(
+                [{"input_ids": ids, "attention_mask": [1] * len(ids)} for ids in id_rows],
+                bucket_length(longest, buckets),
+                self._bucket_rows(len(id_rows), max(len(id_rows), 1)),
+                self.tokenizer.pad_token_id,
             )
-            ids_list = encoded["input_ids"]
-            max_len = max((len(ids) for ids in ids_list), default=1)
-            seq_len = bucket_length(max_len, buckets)
-            n_rows = self._bucket_rows(len(ids_list), max(len(ids_list), 1))
-            prepared = [{"input_ids": ids, "attention_mask": [1] * len(ids)} for ids in ids_list]
-            batch_arrays = pad_block_batch(prepared, seq_len, n_rows, pad_id)
             rank, keep = self._run_device_batch(
-                batch_arrays["input_ids"], batch_arrays["attention_mask"]
+                padded["input_ids"], padded["attention_mask"]
             )
-
-            for idx, contexts in enumerate(chunk):
-                if len(contexts) == 0:
+            for row_idx, (q, ctxs) in enumerate(rows):
+                if not ctxs:
                     continue
-                ranking_score = float(rank[idx])
-                pruning_probs = keep[idx][: len(ids_list[idx])]
-                context_ranges = self._context_ranges_from_contexts(
-                    chunk_queries[idx], list(contexts)
-                )
                 results.append(
                     OpenProvenceRawPrediction(
-                        query=chunk_queries[idx],
-                        contexts=list(contexts),
-                        ranking_score=ranking_score,
-                        pruning_probs=pruning_probs,
-                        context_ranges=context_ranges,
+                        query=q,
+                        contexts=ctxs,
+                        ranking_score=float(rank[row_idx]),
+                        pruning_probs=keep[row_idx][: len(id_rows[row_idx])],
+                        context_ranges=self._context_ranges_from_contexts(q, ctxs),
                     )
                 )
         return results
@@ -359,26 +355,24 @@ class OpenProvenceModel:
     def _context_ranges_from_contexts(
         self, query: str, contexts: Sequence[str]
     ) -> list[tuple[int, int]]:
-        """(standalone:1926-1969) — cumulative re-encoding boundary search."""
+        """Token range of each context inside the joint encoding, found by
+        encoding the cumulative prefixes (behavior of standalone:1926-1969) —
+        all cumulative texts go through the tokenizer in ONE batched call
+        instead of one call per context."""
         if not contexts:
             return []
-        sep_token = self.tokenizer.sep_token or ""
-        prefix = query + sep_token
-        boundaries: list[int] = []
-        for idx in range(len(contexts)):
-            text = prefix + "".join(contexts[: idx + 1])
-            encoding = self.tokenizer.tokenizer(
-                [text], padding=False, truncation=True, max_length=self.max_length
-            )
-            boundaries.append(len(encoding["input_ids"][0]))
-        prefix_encoding = self.tokenizer.tokenizer([prefix], padding=False, truncation=False)
-        prefix_len = len(prefix_encoding["input_ids"][0])
-        ranges: list[tuple[int, int]] = []
-        prev = prefix_len
-        for boundary in boundaries:
-            ranges.append((prev, boundary))
-            prev = boundary
-        return ranges
+        head = query + (self.tokenizer.sep_token or "")
+        growing: list[str] = []
+        acc = head
+        for ctx in contexts:
+            acc += ctx
+            growing.append(acc)
+        encoded = self.tokenizer.tokenizer(
+            growing, padding=False, truncation=True, max_length=self.max_length
+        )
+        edges = [len(ids) for ids in encoded["input_ids"]]
+        head_len = len(self.tokenizer.tokenizer([head], padding=False, truncation=False)["input_ids"][0])
+        return list(zip([head_len, *edges[:-1]], edges))
 
     def predict_with_thresholds(
         self,
@@ -388,25 +382,33 @@ class OpenProvenceModel:
         *,
         use_majority: bool = False,
     ) -> dict[str, Any]:
-        """(standalone:1843-1881)"""
+        """Per-context keep decisions swept over thresholds (behavior of
+        standalone:1843-1881): mean-probability rule by default, majority of
+        per-token votes with ``use_majority``. Empty token ranges always
+        predict keep. Vectorized over numpy; the forward runs once."""
         raw = self.get_raw_predictions(query, contexts)
+        probs = np.asarray(raw.pruning_probs, dtype=np.float32)
+        spans = np.asarray(raw.context_ranges, dtype=np.int64).reshape(-1, 2)
+        sizes = np.maximum(spans[:, 1] - spans[:, 0], 0)
+        running = np.concatenate([[0.0], np.cumsum(probs, dtype=np.float64)])
+        sums = running[np.minimum(spans[:, 1], len(probs))] - running[
+            np.minimum(spans[:, 0], len(probs))
+        ]
+        means = np.divide(sums, np.maximum(sizes, 1))
+
         predictions: dict[float, list[int]] = {}
         for threshold in thresholds:
-            context_predictions: list[int] = []
-            for start, end in raw.context_ranges:
-                segment = raw.pruning_probs[start:end]
-                if segment.size == 0:
-                    context_predictions.append(1)
-                    continue
-                if use_majority:
-                    kept_tokens = int(np.count_nonzero(segment > threshold))
-                    context_predictions.append(
-                        1 if kept_tokens >= (segment.size / 2) else 0
-                    )
-                else:
-                    mean_prob = float(segment.mean())
-                    context_predictions.append(1 if mean_prob > threshold else 0)
-            predictions[threshold] = context_predictions
+            if use_majority:
+                votes = np.array(
+                    [
+                        np.count_nonzero(probs[lo:hi] > threshold)
+                        for lo, hi in raw.context_ranges
+                    ]
+                )
+                decided = votes >= sizes / 2
+            else:
+                decided = means > threshold
+            predictions[threshold] = np.where(sizes == 0, 1, decided.astype(int)).tolist()
         return {
             "query": raw.query,
             "contexts": raw.contexts,
@@ -439,6 +441,40 @@ class OpenProvenceModel:
         token_lists = tokenize_sentences(self.tokenizer, sentences)
         return sentences, token_lists
 
+    def _make_preprocess_job(
+        self,
+        query_idx: int,
+        context_idx: int,
+        context_entry: Any,
+        title_spec: Any,
+        splitter: SentenceSplitter,
+        strip_sentences: bool,
+    ) -> dict[str, Any]:
+        """Preprocessing unit for one (query, context) cell: resolved title
+        prefixes plus eagerly computed sentences/token lists (so the
+        thread-parallel fragmentize stage only splits and decodes)."""
+        manual: list[str] | None = None
+        if isinstance(context_entry, list):
+            manual = [str(s) for s in context_entry if str(s).strip()]
+            text = "".join(manual)
+        else:
+            text = context_entry
+        prefixes, title_is_first = resolve_prefix_sentences(title_spec, context_idx)
+        sentences, token_lists = self._precompute_sentences_and_tokens(
+            text, prefixes, manual, splitter, strip_sentences
+        )
+        return {
+            "query_idx": query_idx,
+            "context_idx": context_idx,
+            "context_text": text,
+            "prefix_sentences": prefixes,
+            "title_is_first_sentence": title_is_first,
+            "prefix_token_counts": [len(ids) for ids in token_lists[: len(prefixes)]],
+            "manual_sentences": manual,
+            "cached_sentences": sentences,
+            "cached_token_lists": token_lists,
+        }
+
     def _build_preprocess_jobs(
         self,
         queries: list[str],
@@ -448,44 +484,19 @@ class OpenProvenceModel:
         *,
         strip_sentences: bool,
     ) -> tuple[list[dict[str, Any]], list[list[int]]]:
-        """(standalone:2436-2519)"""
-        preprocess_jobs: list[dict[str, Any]] = []
-        query_token_ids: list[list[int]] = []
-        for query_idx, query_text in enumerate(queries):
-            query_tokens = self.tokenizer.encode(query_text, add_special_tokens=False)
-            query_token_ids.append(list(query_tokens))
-            title_spec = titles[query_idx]
-            for context_idx, context_entry in enumerate(contexts[query_idx]):
-                if isinstance(context_entry, list):
-                    manual_sentences = [str(s) for s in context_entry if str(s).strip()]
-                    context_text = "".join(manual_sentences)
-                else:
-                    manual_sentences = None
-                    context_text = context_entry
-                prefix_sentences, title_is_first_sentence = resolve_prefix_sentences(
-                    title_spec, context_idx
-                )
-                cached_sentences, cached_token_lists = self._precompute_sentences_and_tokens(
-                    context_text, prefix_sentences, manual_sentences, splitter, strip_sentences
-                )
-                prefix_count = len(prefix_sentences)
-                prefix_token_counts = [
-                    len(tokens) for tokens in cached_token_lists[:prefix_count]
-                ]
-                preprocess_jobs.append(
-                    {
-                        "query_idx": query_idx,
-                        "context_idx": context_idx,
-                        "context_text": context_text,
-                        "prefix_sentences": prefix_sentences,
-                        "title_is_first_sentence": title_is_first_sentence,
-                        "prefix_token_counts": prefix_token_counts,
-                        "manual_sentences": manual_sentences,
-                        "cached_sentences": cached_sentences,
-                        "cached_token_lists": cached_token_lists,
-                    }
-                )
-        return preprocess_jobs, query_token_ids
+        """Flatten the (query, context) grid into preprocessing jobs and
+        encode each query once (behavior of standalone:2436-2519)."""
+        query_token_ids = [
+            list(self.tokenizer.encode(q, add_special_tokens=False)) for q in queries
+        ]
+        jobs = [
+            self._make_preprocess_job(
+                q_idx, c_idx, entry, titles[q_idx], splitter, strip_sentences
+            )
+            for q_idx, group in enumerate(contexts)
+            for c_idx, entry in enumerate(group)
+        ]
+        return jobs, query_token_ids
 
     def _assemble_context_info(
         self,
@@ -565,6 +576,9 @@ class OpenProvenceModel:
                     "input_ids": input_ids,
                     "attention_mask": attention_mask,
                     "ranges": ranges,
+                    "gids": np.array(
+                        [f.global_index for f in block_fragments], dtype=np.int64
+                    ),
                 }
             )
 
@@ -616,31 +630,37 @@ class OpenProvenceModel:
                     for row, entry in enumerate(chunk):
                         job = entry["job"]
                         n_frags = len(entry["ranges"])
-                        frag_means = np.where(
-                            counts[row][:n_frags] > 0, means[row][:n_frags], 1.0
-                        )
-                        raw = RawBlockPrediction(
-                            ranking_score=float(rank[row]),
-                            pruning_probs=None,
-                            context_ranges=entry["ranges"],
-                            fragment_means=frag_means,
+                        scores = BlockScores(
+                            order=job["block_idx"],
+                            rank=float(rank[row]),
+                            fragment_gids=entry["gids"],
+                            fragment_spans=np.asarray(
+                                entry["ranges"], dtype=np.int64
+                            ).reshape(-1, 2),
+                            fragment_means=np.where(
+                                counts[row][:n_frags] > 0, means[row][:n_frags], 1.0
+                            ),
                         )
                         contexts_info[(job["query_idx"], job["context_idx"])][
                             "raw_blocks"
-                        ].append((job["block_idx"], raw))
+                        ].append(scores)
                 else:
                     rank, keep = res
                     for row, entry in enumerate(chunk):
                         job = entry["job"]
                         n_tokens = len(entry["input_ids"])
-                        raw = RawBlockPrediction(
-                            ranking_score=float(rank[row]),
-                            pruning_probs=keep[row][:n_tokens],
-                            context_ranges=entry["ranges"],
+                        scores = BlockScores(
+                            order=job["block_idx"],
+                            rank=float(rank[row]),
+                            fragment_gids=entry["gids"],
+                            fragment_spans=np.asarray(
+                                entry["ranges"], dtype=np.int64
+                            ).reshape(-1, 2),
+                            token_probs=keep[row][:n_tokens],
                         )
                         contexts_info[(job["query_idx"], job["context_idx"])][
                             "raw_blocks"
-                        ].append((job["block_idx"], raw))
+                        ].append(scores)
             pending.clear()
 
         for seq_len, entries in iterator:
@@ -722,9 +742,17 @@ class OpenProvenceModel:
         reference's heuristics (standalone:2567-2623 — see
         preprocess_tuning.py). ``preprocess_batch_size`` pins the per-worker
         chunk; ``torch_dataloader_kwargs`` is accepted for drop-in
-        compatibility but unused (there is no torch DataLoader here).
+        compatibility but unused (there is no torch DataLoader here — a
+        warning notes this unless ``enable_warnings=False``).
+        ``enable_warnings`` gates the engine's logging-module warnings
+        (counterpart of standalone:3427-3439).
         """
-        del torch_dataloader_kwargs, enable_warnings
+        warn: Callable[[str], None] = LOGGER.warning if enable_warnings else (lambda _msg: None)
+        if torch_dataloader_kwargs:
+            warn(
+                "torch_dataloader_kwargs is accepted for reference "
+                "compatibility but has no effect (no torch DataLoader here)."
+            )
         batch_size = max(1, batch_size)
         threshold = self._resolve_process_threshold(threshold)
         start_total = perf_counter()
@@ -787,10 +815,22 @@ class OpenProvenceModel:
         if workers > 0 and len(preprocess_jobs) > 1:
             from concurrent.futures import ThreadPoolExecutor
 
+            # ThreadPoolExecutor.map ignores chunksize (it only applies to
+            # process pools), so chunk the job list by hand: each worker
+            # task fragmentizes a slice, amortizing executor overhead.
+            span = max(1, int(chunk_size or 1))
+            slices = [
+                preprocess_jobs[i : i + span]
+                for i in range(0, len(preprocess_jobs), span)
+            ]
             with ThreadPoolExecutor(max_workers=workers) as pool:
-                entries = list(
-                    pool.map(_fragmentize, preprocess_jobs, chunksize=chunk_size)
-                )
+                entries = [
+                    entry
+                    for batch in pool.map(
+                        lambda jobs: [_fragmentize(j) for j in jobs], slices
+                    )
+                    for entry in batch
+                ]
         else:
             entries = [_fragmentize(job) for job in preprocess_jobs]
 
@@ -846,47 +886,19 @@ class OpenProvenceModel:
                 debug_callback(message)
 
         post_start = perf_counter()
-        (
-            pruned_contexts,
-            reranking_scores,
-            compression_rates,
-            kept_sentences,
-            removed_sentences,
-            title_values,
-            sentence_probability_groups,
-        ) = postprocess_contexts(
+        outcomes = summarize_contexts(
             queries,
             contexts,
             contexts_info,
             threshold=threshold,
             always_select_title=always_select_title,
             use_best_reranker_score=use_best_reranker_score,
-            sentence_probability_groups_requested=return_sentence_metrics,
-            collect_sentence_texts=return_sentence_texts,
             first_line_as_title=first_line_as_title,
             zero_score_when_empty=zero_score_when_empty,
         )
-        post_time = perf_counter() - post_start
-
         if reorder:
-            (
-                pruned_contexts,
-                reranking_scores,
-                compression_rates,
-                kept_sentences,
-                removed_sentences,
-                title_values,
-                sentence_probability_groups,
-            ) = apply_reordering(
-                pruned_contexts,
-                reranking_scores,
-                compression_rates,
-                kept_sentences,
-                removed_sentences,
-                title_values,
-                sentence_probability_groups,
-                top_k=top_k,
-            )
+            outcomes = reorder_outcomes(outcomes, top_k=top_k)
+        post_time = perf_counter() - post_start
 
         total_time = perf_counter() - start_total
         performance_trace = ProcessPerformanceTrace(
@@ -904,15 +916,11 @@ class OpenProvenceModel:
         if debug_callback is not None:
             debug_callback(f"[OpenProvenceModel] {performance_trace.timing_line()}")
 
-        payload = restore_output_shape(
+        payload = build_payload(
             structure,
-            pruned_contexts,
-            reranking_scores,
-            compression_rates,
-            kept_sentences,
-            removed_sentences,
-            title_values,
-            sentence_probability_groups,
+            outcomes,
+            include_sentence_texts=return_sentence_texts,
+            include_sentence_probs=return_sentence_metrics,
         )
         payload["timing"] = performance_trace.as_dict()
         payload["performance_trace"] = performance_trace

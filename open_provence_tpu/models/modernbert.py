@@ -85,7 +85,11 @@ class BackboneLayerNorm(nn.Module):
             else None
         )
         if defer:
-            assert bias is None, "deferred LN requires a bias-free norm"
+            if bias is not None:
+                raise ValueError(
+                    "deferred LN requires a bias-free norm; the caller must "
+                    "not fold a norm_bias=True LayerNorm into a GEMM kernel"
+                )
             h = x if residual is None else residual + x
             return h, scale
         use_fused = (
@@ -349,7 +353,10 @@ class ModernBertEncoderLayer(nn.Module):
         # state per norm (profiled 0.077 ms attn_norm / 0.032 ms mlp_norm
         # per layer at B=32, S=512, base).
         fuse_attn_ln = self.layer_id != 0 and attn_ln_fusable(cfg, rows, x.dtype)
-        fuse_mlp_ln = mlp_geglu_fusable(cfg, rows, x.dtype)
+        # A norm_bias=True checkpoint cannot defer mlp_norm into the GeGLU
+        # kernel (the kernel is bias-free); fall back to the separate-norm
+        # path, which still uses the fused GeGLU GEMM.
+        fuse_mlp_ln = not cfg.norm_bias and mlp_geglu_fusable(cfg, rows, x.dtype)
         if self.layer_id == 0:
             # Layer 0 skips attn_norm: embeddings are already normalized.
             attn_in, attn_scale = x, None
