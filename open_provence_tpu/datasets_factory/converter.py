@@ -5,24 +5,28 @@ scripts/context-relevance-datasets/generate_ds_from_sentense_transformer.py:
 (query, positive, negatives…) rows → {id, query, texts, context_spans,
 labels}, with per-language sentence splitters (punkt for 16 languages when
 its data is present, regex fallback otherwise; ja handled by the package's
-regex splitter since fast-bunkai is Rust-only) and the 1%/≤5k automatic
-validation/test split policy.
+splitter since fast-bunkai is Rust-only) and the 1%/≤5k automatic
+validation/test split policy.  Field extraction and span location are
+behaviorally identical to the reference (golden-tested in
+tests/test_datasets_factory.py) but organised around table-driven field
+chains and a cursor-based span locator.
 """
 
 from __future__ import annotations
 
 import logging
 import re
-from collections.abc import Callable
+from collections.abc import Callable, Sequence
 from typing import Any, cast
 
 from datasets import Dataset, DatasetDict
 
 from ..text.splitters import japanese_sentence_splitter
 
-logger = logging.getLogger(__name__)
+_LOG = logging.getLogger(__name__)
 
-SentenceSplitter = Callable[[str], list[str]]
+SplitFn = Callable[[str], list[str]]
+SentenceSplitter = SplitFn  # back-compat alias
 
 NLTK_PUNKT_LANG_CODES = {
     "da": "danish", "de": "german", "en": "english", "es": "spanish",
@@ -30,21 +34,23 @@ NLTK_PUNKT_LANG_CODES = {
     "it": "italian", "nb": "norwegian", "nl": "dutch", "pl": "polish",
     "pt": "portuguese", "sl": "slovene", "sv": "swedish", "tr": "turkish",
 }
-_ALIASES: dict[str, str] = {}
-for code, name in NLTK_PUNKT_LANG_CODES.items():
-    _ALIASES[code] = name
-    _ALIASES[name] = name
-_ALIASES.update({"no": "norwegian", "nn": "norwegian"})
+_ALIASES: dict[str, str] = {
+    **NLTK_PUNKT_LANG_CODES,
+    **{name: name for name in NLTK_PUNKT_LANG_CODES.values()},
+    "no": "norwegian",
+    "nn": "norwegian",
+}
 
 _GENERIC_SPLIT_PATTERN = re.compile(r".+?(?:[.!?。！？]+(?:\s+|$)|\n+|$)", re.S)
 
 
 def generic_sentence_splitter(text: str) -> list[str]:
-    sentences = [m.strip() for m in _GENERIC_SPLIT_PATTERN.findall(text) if m.strip()]
-    if sentences:
-        return sentences
-    stripped = text.strip()
-    return [stripped] if stripped else []
+    pieces = [m.strip() for m in _GENERIC_SPLIT_PATTERN.findall(text)]
+    found = [p for p in pieces if p]
+    if found:
+        return found
+    whole = text.strip()
+    return [whole] if whole else []
 
 
 def _punkt_splitter(language_name: str) -> SentenceSplitter | None:
@@ -62,106 +68,131 @@ def _punkt_splitter(language_name: str) -> SentenceSplitter | None:
 
 
 def resolve_factory_splitter(language: str) -> SentenceSplitter:
-    canonical = language.lower()
-    if canonical == "ja":
+    code = language.lower()
+    if code == "ja":
         return lambda text: [s.strip() for s in japanese_sentence_splitter(text) if s.strip()]
-    name = _ALIASES.get(canonical)
-    if name is not None:
-        punkt = _punkt_splitter(name)
-        if punkt is not None:
-            return punkt
-        logger.warning(
-            "punkt data for '%s' unavailable; using regex fallback splitter.", name
+    punkt_name = _ALIASES.get(code)
+    if punkt_name is None:
+        _LOG.warning(
+            "No splitter registered for language '%s'; using regex fallback.", code
         )
         return generic_sentence_splitter
-    logger.warning(
-        "No splitter registered for language '%s'; using regex fallback.", canonical
-    )
-    return generic_sentence_splitter
+    punkt = _punkt_splitter(punkt_name)
+    if punkt is None:
+        _LOG.warning(
+            "punkt data for '%s' unavailable; using regex fallback splitter.",
+            punkt_name,
+        )
+        return generic_sentence_splitter
+    return punkt
 
 
-def text_to_spans(text: str, splitter: SentenceSplitter) -> list[list[int]]:
-    """Char spans of the splitter's (stripped) sentences inside the text
-    (reference generate_ds:158-195)."""
-    sentences = splitter(text)
-    spans: list[list[int]] = []
+# --------------------------------------------------------------------------
+# span extraction
+
+
+def _locate(haystack: str, needle: str, cursor: int) -> int:
+    """Leftmost occurrence at/after ``cursor``, else anywhere, else -1."""
+    at = haystack.find(needle, cursor)
+    return at if at >= 0 else haystack.find(needle)
+
+
+def text_to_spans(text: str, splitter: SplitFn) -> list[list[int]]:
+    """Char spans of the splitter's (stripped) sentences inside ``text``;
+    a whole-text span when nothing splits (reference behavior:
+    generate_ds_from_sentense_transformer.py:158-195)."""
+    located: list[list[int]] = []
     cursor = 0
-    for sentence in sentences:
-        stripped = sentence.strip()
-        if not stripped:
+    for piece in splitter(text):
+        piece = piece.strip()
+        if not piece:
             continue
-        start = text.find(stripped, cursor)
-        if start == -1:
-            start = text.find(stripped)
-        if start == -1:
+        at = _locate(text, piece, cursor)
+        if at < 0:
             continue
-        end = start + len(stripped)
-        spans.append([start, end])
-        cursor = end
-    if spans:
-        return spans
-    stripped = text.strip()
-    if not stripped:
+        located.append([at, at + len(piece)])
+        cursor = at + len(piece)
+    if located:
+        return located
+    whole = text.strip()
+    if not whole:
         return [[0, 0]]
-    start = max(text.find(stripped), 0)
-    return [[start, start + len(stripped)]]
+    at = max(text.find(whole), 0)
+    return [[at, at + len(whole)]]
 
 
-def _normalise_text(value: Any) -> str:
+# --------------------------------------------------------------------------
+# field extraction (table-driven)
+
+_QUERY_CHAIN = ("query", "question", "prompt")
+_POSITIVE_CHAIN = ("answer", "positive", "pos", "target")
+_NEGATIVE_PREFIXES = ("negative", "neg")
+
+
+def _coerce_text(value: Any) -> str:
     if value is None:
         return ""
-    if isinstance(value, list):
-        return " ".join(str(part) for part in value if part)
     if isinstance(value, str):
         return value
+    if isinstance(value, list):
+        parts = (str(item) for item in value if item)
+        return " ".join(parts)
     return str(value)
+
+
+def _first_truthy(example: dict[str, Any], chain: Sequence[str]) -> Any:
+    for field in chain:
+        value = example.get(field)
+        if value:
+            return value
+    return None
 
 
 def extract_fields(example: dict[str, Any]) -> tuple[str, str, list[str]]:
     """query/question/prompt + answer/positive/pos/target + negative*
-    (reference generate_ds:198-222)."""
-    query = _normalise_text(
-        example.get("query") or example.get("question") or example.get("prompt")
-    )
+    (reference behavior: generate_ds_from_sentense_transformer.py:198-222)."""
+    query = _coerce_text(_first_truthy(example, _QUERY_CHAIN))
     if not query:
-        raise ValueError("Example does not contain a query/question field.")
-    positive = _normalise_text(
-        example.get("answer")
-        or example.get("positive")
-        or example.get("pos")
-        or example.get("target")
-    )
+        raise ValueError("No query/question/prompt field in example.")
+    positive = _coerce_text(_first_truthy(example, _POSITIVE_CHAIN))
     if not positive:
-        raise ValueError("Example does not contain an answer/positive field.")
-    negative_fields = sorted(
-        key
-        for key in example
-        if isinstance(key, str) and (key.startswith("negative") or key.startswith("neg"))
+        raise ValueError("No answer/positive field in example.")
+    negative_keys = sorted(
+        k
+        for k in example
+        if isinstance(k, str) and k.startswith(_NEGATIVE_PREFIXES)
     )
     negatives = [
-        value for field in negative_fields if (value := _normalise_text(example.get(field)))
+        text for k in negative_keys if (text := _coerce_text(example.get(k)))
     ]
     return query, positive, negatives
 
 
+# --------------------------------------------------------------------------
+# record assembly
+
+
 def slugify_dataset_name(name: str, subset: str | None) -> str:
-    base = name.replace("/", "_")
-    return f"{base}_{subset}" if subset else base
+    slug = name.replace("/", "_")
+    return slug if not subset else f"{slug}_{subset}"
 
 
 def build_record(
     example: dict[str, Any], *, splitter: SentenceSplitter, idx: int,
     dataset_slug: str, split: str,
 ) -> dict[str, Any]:
-    query, positive, negatives = extract_fields(example)
-    texts = [positive, *negatives]
+    row_query, row_positive, row_negatives = extract_fields(example)
+    texts = [row_positive, *row_negatives]
     return {
         "id": f"{dataset_slug}:{split}:{idx}",
-        "query": query,
+        "query": row_query,
         "texts": texts,
-        "context_spans": [text_to_spans(text, splitter) for text in texts],
-        "labels": [1] + [0] * (len(texts) - 1),
+        "context_spans": [text_to_spans(t, splitter) for t in texts],
+        "labels": [1] + [0] * len(row_negatives),
     }
+
+
+_EMPTY_COLUMNS = ("id", "query", "texts", "context_spans", "labels")
 
 
 def convert_split(
@@ -169,61 +200,61 @@ def convert_split(
 ) -> Dataset:
     records = [
         build_record(
-            cast(dict[str, Any], example),
-            splitter=splitter,
-            idx=idx,
-            dataset_slug=dataset_slug,
-            split=split,
+            cast(dict[str, Any], row),
+            splitter=splitter, idx=idx, dataset_slug=dataset_slug, split=split,
         )
-        for idx, example in enumerate(dataset)
+        for idx, row in enumerate(dataset)
     ]
     if not records:
-        return Dataset.from_dict(
-            {"id": [], "query": [], "texts": [], "context_spans": [], "labels": []}
-        )
+        return Dataset.from_dict({c: [] for c in _EMPTY_COLUMNS})
     return Dataset.from_list(records)
 
 
-def compute_split_size(total_rows: int) -> int:
-    """1% of rows, capped at 5000 (reference generate_ds:367-375)."""
-    if total_rows <= 1:
+# --------------------------------------------------------------------------
+# split policy: 1% (clamped to [1, 5000]) each for validation and test
+
+
+def compute_split_size(row_count: int) -> int:
+    """Rows to carve for one eval split out of ``total_rows``
+    (reference behavior: generate_ds_from_sentense_transformer.py:367-375)."""
+    if row_count <= 1:
         return 0
-    desired = min(max(1, int(round(total_rows * 0.01))), 5000)
-    max_for_split = max(total_rows - 1, 0)
-    if max_for_split <= 1:
-        return min(desired, max_for_split)
-    return min(desired, max_for_split // 2)
+    one_percent = min(max(1, int(round(row_count * 0.01))), 5000)
+    headroom = row_count - 1
+    ceiling = headroom if headroom <= 1 else headroom // 2
+    return min(one_percent, ceiling)
+
+
+def _eval_carve_plan(total: int) -> tuple[int, int]:
+    """(validation_size, test_size) leaving at least one training row."""
+    if total == 0:
+        raise ValueError("Cannot carve validation/test splits from an empty train split.")
+    val = compute_split_size(total) or (1 if total > 1 else 0)
+    test = compute_split_size(total - val) or (1 if total - val > 1 else 0)
+    deficit = 1 - (total - val - test)
+    if deficit > 0:
+        if test > deficit:
+            test -= deficit
+        elif val > deficit:
+            val -= deficit
+        else:
+            raise ValueError("Unable to allocate positive split sizes.")
+    return val, test
 
 
 def ensure_eval_splits(splits: dict[str, Dataset], seed: int) -> dict[str, Dataset]:
-    """Create validation/test from train when absent (reference
-    generate_ds:360-411)."""
-    if "validation" in splits and "test" in splits:
+    """Carve validation/test out of a shuffled train when either is absent
+    (reference behavior: generate_ds_from_sentense_transformer.py:360-411)."""
+    if {"validation", "test"} <= splits.keys():
         return splits
-    train_split = splits["train"].shuffle(seed=seed)
-    total = len(train_split)
-    if total == 0:
-        raise ValueError("Train split is empty; cannot create validation/test splits.")
-    val_size = compute_split_size(total)
-    if val_size == 0 and total > 1:
-        val_size = 1
-    remaining = total - val_size
-    test_size = compute_split_size(remaining)
-    if test_size == 0 and remaining > 1:
-        test_size = 1
-    if total - val_size - test_size <= 0:
-        shortfall = 1 - (total - val_size - test_size)
-        if test_size > shortfall:
-            test_size -= shortfall
-        elif val_size > shortfall:
-            val_size -= shortfall
-        else:
-            raise ValueError("Unable to allocate positive split sizes.")
-    out = dict(splits)
-    out["validation"] = train_split.select(range(val_size))
-    out["test"] = train_split.select(range(val_size, val_size + test_size))
-    out["train"] = train_split.select(range(val_size + test_size, total))
-    return out
+    shuffled = splits["train"].shuffle(seed=seed)
+    val, test = _eval_carve_plan(len(shuffled))
+    return {
+        **splits,
+        "validation": shuffled.select(range(val)),
+        "test": shuffled.select(range(val, val + test)),
+        "train": shuffled.select(range(val + test, len(shuffled))),
+    }
 
 
 def convert_dataset_dict(
@@ -237,20 +268,19 @@ def convert_dataset_dict(
     if isinstance(dataset_dict, Dataset):
         dataset_dict = DatasetDict({"train": dataset_dict})
     if "train" not in dataset_dict:
-        raise ValueError("Source dataset must expose a 'train' split.")
+        raise ValueError("Conversion needs a 'train' split in the source dataset.")
+    if sample_size is not None and sample_size <= 0:
+        raise ValueError("sample_size must be positive if provided.")
     splitter = resolve_factory_splitter(language)
 
-    splits: dict[str, Dataset] = {}
-    for split_name, split_dataset in dataset_dict.items():
-        if sample_size is not None:
-            if sample_size <= 0:
-                raise ValueError("sample_size must be positive if provided.")
-            split_dataset = split_dataset.shuffle(seed=seed).select(
-                range(min(sample_size, len(split_dataset)))
-            )
-        splits[split_name] = split_dataset
+    def _maybe_sample(ds: Dataset) -> Dataset:
+        if sample_size is None:
+            return ds
+        return ds.shuffle(seed=seed).select(range(min(sample_size, len(ds))))
 
-    splits = ensure_eval_splits(splits, seed)
+    splits = ensure_eval_splits(
+        {name: _maybe_sample(ds) for name, ds in dataset_dict.items()}, seed
+    )
     return DatasetDict(
         {
             name: convert_split(

@@ -1,19 +1,21 @@
 """Token-level pruning label generation from character spans.
 
-Two strategies, mirroring the reference collator
+Two strategies, behaviorally matching the reference collator
 (open_provence/data_collator.py:322-707):
 
-* v2 — progressive re-encoding of query + span prefixes to get exact token
-  spans (tokenizer-agnostic, handles subword merges at span joins); the
-  document start is discovered via a "test"-token probe.
-* v1 — offset-mapping + SEP/EOS boundary detection fallback.
+* v2 — measure each space-joined span prefix's token length to place exact
+  token spans (tokenizer-agnostic, robust to subword merges at joins); the
+  document's token offset inside the (query, document) pair is located with
+  a probe encoding.
+* v1 — offset-mapping + SEP/EOS boundary fallback.
 
-Labels: -100 for query/special/tail tokens (ignored in loss), 1 for tokens
-in relevant chunks, 0 for tokens in non-relevant chunks.
+Labels: -100 for query/special/tail tokens (ignored by the loss), 1 inside
+relevant chunks, 0 inside non-relevant chunks.
 
-Unlike the reference (which re-encodes inside the hot collator call, a known
-CPU cost — SURVEY §3.1), these functions are designed to be applied once in
-a dataset ``.map`` precompute; the collator then only pads fixed shapes.
+TPU-first differences from the reference: these functions run once in a
+dataset ``.map`` precompute (the collator then only pads fixed shapes), the
+v2 prefix probes go through the tokenizer as ONE batched call instead of a
+per-span Python loop, and the v1 painter is vectorized over numpy.
 """
 
 from __future__ import annotations
@@ -25,79 +27,89 @@ import numpy as np
 
 logger = logging.getLogger(__name__)
 
+_PROBE_WORD = "test"
+
+
+def _encode_lengths(tokenizer: Any, texts: list[Any], *, special: bool) -> list[int]:
+    """Token count of each text (or [query, doc] pair) in one batched call."""
+    if not texts:
+        return []
+    encoded = tokenizer(
+        texts,
+        add_special_tokens=special,
+        padding=False,
+        truncation=False,
+        return_attention_mask=False,
+    )
+    return [len(ids) for ids in encoded["input_ids"]]
+
+
+def _find_run(haystack: list[int], needle: list[int], start: int) -> int | None:
+    """Leftmost index >= start where ``needle`` occurs in ``haystack``."""
+    last = len(haystack) - len(needle)
+    for at in range(start, last + 1):
+        if haystack[at : at + len(needle)] == needle:
+            return at
+    return None
+
+
+def _space_joined_prefixes(spans: list[str]) -> list[str]:
+    """["a", "b", "c"] -> ["a", "a b", "a b c"]."""
+    out: list[str] = []
+    acc = ""
+    for k, span in enumerate(spans):
+        acc = span if k == 0 else f"{acc} {span}"
+        out.append(acc)
+    return out
+
 
 def compute_span_token_positions(
     tokenizer: Any, query: str, spans: list[str]
 ) -> list[tuple[int, int]]:
-    """Token positions of each span within the encoded (query, document)
-    pair (reference data_collator.py:504-632)."""
+    """Token-index range of each span within the encoded (query, document)
+    pair (reference behavior: data_collator.py:504-632).
+
+    The document's first token index is found by encoding (query, probe) and
+    locating the probe's token ids after the query; each span's extent is the
+    difference between consecutive space-joined prefix token lengths.
+    """
     if not spans:
         return []
 
-    progressive_texts = []
-    accumulated_text = ""
-    for i, span in enumerate(spans):
-        if i > 0:
-            accumulated_text += " "
-        accumulated_text += span
-        progressive_texts.append([query, accumulated_text])
-
-    query_only = tokenizer(
-        [query],
-        add_special_tokens=True,
-        padding=False,
-        truncation=False,
-        return_attention_mask=False,
-    )
-    query_length = len(query_only["input_ids"][0])
-
-    test_pair = tokenizer(
-        [[query, "test"]],
-        add_special_tokens=True,
-        padding=False,
-        truncation=False,
-        return_attention_mask=False,
-    )
-    test_tokens = list(test_pair["input_ids"][0])
-    test_only = tokenizer(
-        ["test"],
-        add_special_tokens=False,
-        padding=False,
-        truncation=False,
-        return_attention_mask=False,
-    )
-    test_token_ids = list(test_only["input_ids"][0])
-
-    doc_start_offset = None
-    for i in range(query_length, len(test_tokens) - len(test_token_ids) + 1):
-        if test_tokens[i : i + len(test_token_ids)] == test_token_ids:
-            doc_start_offset = i
-            break
-    if doc_start_offset is None:
-        doc_start_offset = query_length
-
-    span_positions: list[tuple[int, int]] = []
-    prev_doc_length = 0
-    for i in range(len(spans)):
-        current_doc = ""
-        for j in range(i + 1):
-            if j > 0:
-                current_doc += " "
-            current_doc += spans[j]
-        doc_only = tokenizer(
-            [current_doc],
+    single = {
+        "add_special_tokens": True,
+        "padding": False,
+        "truncation": False,
+        "return_attention_mask": False,
+    }
+    query_tokens = len(tokenizer([query], **single)["input_ids"][0])
+    probe_pair = list(tokenizer([[query, _PROBE_WORD]], **single)["input_ids"][0])
+    probe_ids = list(
+        tokenizer(
+            [_PROBE_WORD],
             add_special_tokens=False,
             padding=False,
             truncation=False,
             return_attention_mask=False,
-        )
-        current_doc_length = len(doc_only["input_ids"][0])
-        span_start = doc_start_offset + prev_doc_length
-        span_end = doc_start_offset + current_doc_length
-        span_positions.append((span_start, span_end))
-        prev_doc_length = current_doc_length
+        )["input_ids"][0]
+    )
+    doc_base = _find_run(probe_pair, probe_ids, query_tokens)
+    if doc_base is None:
+        doc_base = query_tokens
 
-    return span_positions
+    # One batched encode of every prefix; span k occupies the token range
+    # between prefix k-1's length and prefix k's length.
+    prefix_lengths = _encode_lengths(
+        tokenizer, _space_joined_prefixes(spans), special=False
+    )
+    edges = [0, *prefix_lengths]
+    return [
+        (doc_base + lo, doc_base + hi) for lo, hi in zip(edges[:-1], edges[1:])
+    ]
+
+
+def _squash_ws(text: str) -> str:
+    return " ".join(text.split())
 
 
 def validate_span_tokenization(
@@ -106,35 +118,32 @@ def validate_span_tokenization(
     spans: list[str],
     span_positions: list[tuple[int, int]],
 ) -> bool:
-    """Decode each span's token range and check it matches the original text
-    (reference data_collator.py:635-707)."""
-    doc_text = ""
-    for i, span in enumerate(spans):
-        if i > 0:
-            doc_text += " "
-        doc_text += span
-    encoding = tokenizer(
-        [[query, doc_text]],
-        add_special_tokens=True,
-        padding=False,
-        truncation=False,
-        return_attention_mask=False,
+    """Decode each span's token range back to text and accept if it matches
+    the original up to whitespace/case, or at least contains every original
+    word (reference behavior: data_collator.py:635-707)."""
+    document = _space_joined_prefixes(spans)[-1] if spans else ""
+    pair_ids = list(
+        tokenizer(
+            [[query, document]],
+            add_special_tokens=True,
+            padding=False,
+            truncation=False,
+            return_attention_mask=False,
+        )["input_ids"][0]
     )
-    tokens = list(encoding["input_ids"][0])
-    for i, (span_text, (start_pos, end_pos)) in enumerate(zip(spans, span_positions)):
-        decoded_text = tokenizer.decode(tokens[start_pos:end_pos], skip_special_tokens=True)
-        normalized_original = " ".join(span_text.split())
-        normalized_decoded = " ".join(decoded_text.split())
-        if normalized_original != normalized_decoded:
-            if normalized_original.lower() == normalized_decoded.lower():
-                continue
-            decoded_lower = normalized_decoded.lower().replace(" ", "")
-            if not all(w.lower() in decoded_lower for w in normalized_original.lower().split()):
-                logger.warning(
-                    "Span %d mismatch: original=%r decoded=%r positions=%d-%d",
-                    i, normalized_original, normalized_decoded, start_pos, end_pos,
-                )
-                return False
+    for ordinal, (span, (lo, hi)) in enumerate(zip(spans, span_positions)):
+        wanted = _squash_ws(span)
+        got = _squash_ws(tokenizer.decode(pair_ids[lo:hi], skip_special_tokens=True))
+        if wanted == got or wanted.lower() == got.lower():
+            continue
+        haystack = got.lower().replace(" ", "")
+        if all(word in haystack for word in wanted.lower().split()):
+            continue
+        logger.warning(
+            "Span %d decode mismatch: original=%r decoded=%r positions=%d-%d",
+            ordinal, wanted, got, lo, hi,
+        )
+        return False
     return True
 
 
@@ -143,43 +152,58 @@ def labels_from_span_positions(
     span_positions: list[tuple[int, int]],
     relevant_chunks: list[int],
 ) -> np.ndarray:
-    """v2 label array: -100 baseline; relevant spans → 1, others → 0
-    (reference data_collator.py:344-383)."""
+    """v2 label array: -100 baseline, then relevant spans painted 1, then
+    non-relevant spans painted 0 — in that order, so an overlapping
+    non-relevant span wins (reference behavior: data_collator.py:344-383)."""
     labels = np.full((seq_length,), -100, dtype=np.int64)
-    for chunk_idx in relevant_chunks:
-        if chunk_idx < len(span_positions):
-            start, end = span_positions[chunk_idx]
-            start = min(start, seq_length)
-            end = min(end, seq_length)
-            labels[start:end] = 1
-    for chunk_idx in range(len(span_positions)):
-        if chunk_idx not in relevant_chunks:
-            start, end = span_positions[chunk_idx]
-            start = min(start, seq_length)
-            end = min(end, seq_length)
-            labels[start:end] = 0
+    wanted = set(relevant_chunks)
+    for paint, is_relevant in ((1, True), (0, False)):
+        for idx, (lo, hi) in enumerate(span_positions):
+            if (idx in wanted) == is_relevant:
+                labels[min(lo, seq_length) : min(hi, seq_length)] = paint
     return labels
+
+
+def _mask_to_indices(mask: list[Any]) -> list[int]:
+    return [i for i, bit in enumerate(mask) if bit == 1]
 
 
 def normalize_relevant_chunks(
     relevant_chunks_raw: list[Any], chunks_pos: list[Any]
 ) -> list[list[int]]:
-    """Convert binary masks [1,0,1] to index lists [0,2] when the length
-    matches the chunk count (reference data_collator.py:190-206)."""
-    relevant_chunks: list[list[int]] = []
-    for text_idx, chunk_labels in enumerate(relevant_chunks_raw):
-        if isinstance(chunk_labels, list) and len(chunk_labels) > 0:
-            if text_idx < len(chunks_pos) and len(chunk_labels) == len(
-                chunks_pos[text_idx]
-            ) and all(label in (0, 1) for label in chunk_labels):
-                relevant_chunks.append(
-                    [idx for idx, label in enumerate(chunk_labels) if label == 1]
-                )
-            else:
-                relevant_chunks.append(list(chunk_labels))
-        else:
-            relevant_chunks.append(list(chunk_labels) if isinstance(chunk_labels, list) else chunk_labels)
-    return relevant_chunks
+    """Per text, turn a binary mask like [1, 0, 1] into index form [0, 2]
+    when its length equals that text's chunk count; anything else passes
+    through as a list copy (reference behavior: data_collator.py:190-206)."""
+    out: list[list[int]] = []
+    for pos, entry in enumerate(relevant_chunks_raw):
+        if not isinstance(entry, list):
+            out.append(entry)
+            continue
+        looks_like_mask = (
+            entry
+            and pos < len(chunks_pos)
+            and len(entry) == len(chunks_pos[pos])
+            and all(bit in (0, 1) for bit in entry)
+        )
+        out.append(_mask_to_indices(entry) if looks_like_mask else list(entry))
+    return out
+
+
+def _document_token_window(
+    input_ids: np.ndarray,
+    *,
+    sep_token_id: int | None,
+    eos_token_id: int,
+    has_sep_token: bool,
+) -> tuple[int, int] | None:
+    """[start, end) token range of the document half of the pair, from the
+    first two separator (or EOS) occurrences."""
+    marker = sep_token_id if (has_sep_token and sep_token_id is not None) else eos_token_id
+    hits = np.flatnonzero(input_ids == marker)
+    if hits.size < 2:
+        return None
+    skip = 1 if (has_sep_token and sep_token_id is not None) else 2
+    return int(hits[0]) + skip, int(hits[1])
 
 
 def generate_labels_v1(
@@ -192,44 +216,45 @@ def generate_labels_v1(
     eos_token_id: int,
     has_sep_token: bool,
 ) -> np.ndarray:
-    """Offset-mapping fallback for one pair (reference
-    data_collator.py:385-501). input_ids [L], offsets [L, 2]."""
-    seq_length = int(input_ids.shape[0])
-    labels = np.zeros((seq_length,), dtype=np.int64)
+    """Offset-mapping fallback for one pair, vectorized
+    (reference behavior: data_collator.py:385-501).
 
-    if has_sep_token and sep_token_id is not None:
-        sep_positions = np.nonzero(input_ids == sep_token_id)[0]
-        if len(sep_positions) >= 2:
-            doc_start_token = int(sep_positions[0]) + 1
-            doc_end_token = int(sep_positions[1])
-        else:
-            return labels
-    else:
-        sep_positions = np.nonzero(input_ids == eos_token_id)[0]
-        if len(sep_positions) >= 2:
-            doc_start_token = int(sep_positions[0]) + 2
-            doc_end_token = int(sep_positions[1])
-        else:
-            return labels
+    input_ids [L]; offsets [L, 2] char ranges. Tokens overlapping any
+    relevant chunk's char range get 1; other document tokens 0; everything
+    outside the document window -100.
+    """
+    length = int(input_ids.shape[0])
+    window = _document_token_window(
+        input_ids,
+        sep_token_id=sep_token_id,
+        eos_token_id=eos_token_id,
+        has_sep_token=has_sep_token,
+    )
+    if window is None:
+        return np.zeros((length,), dtype=np.int64)
+    doc_lo, doc_hi = window
 
-    doc_offset = 0
-    for i in range(doc_start_token, min(doc_start_token + 5, doc_end_token)):
-        if offsets[i][0] != 0 or offsets[i][1] != 0:
-            doc_offset = int(offsets[i][0])
+    starts = offsets[:, 0].astype(np.int64)
+    ends = offsets[:, 1].astype(np.int64)
+    real_token = (starts != 0) | (ends != 0)
+
+    # Char offsets restart relative to the document; the shift is read from
+    # the first real token in a short probe window at the document head.
+    doc_shift = 0
+    for probe in range(doc_lo, min(doc_lo + 5, doc_hi)):
+        if real_token[probe]:
+            doc_shift = int(starts[probe])
             break
 
-    labels[:doc_start_token] = -100
-    for token_idx in range(doc_start_token, doc_end_token):
-        token_start, token_end = int(offsets[token_idx][0]), int(offsets[token_idx][1])
-        if token_start == 0 and token_end == 0:
-            continue
-        token_start_rel = token_start - doc_offset
-        token_end_rel = token_end - doc_offset
-        for chunk_idx in relevant_chunks:
-            if chunk_idx < len(chunk_positions):
-                chunk_start, chunk_end = chunk_positions[chunk_idx]
-                if token_start_rel < chunk_end and token_end_rel > chunk_start:
-                    labels[token_idx] = 1
-                    break
-    labels[doc_end_token:] = -100
+    position = np.arange(length)
+    in_window = (position >= doc_lo) & (position < doc_hi) & real_token
+    overlaps = np.zeros((length,), dtype=bool)
+    for chunk_idx in relevant_chunks:
+        if 0 <= chunk_idx < len(chunk_positions):
+            chunk_lo, chunk_hi = chunk_positions[chunk_idx]
+            overlaps |= (starts - doc_shift < chunk_hi) & (ends - doc_shift > chunk_lo)
+
+    labels = np.where(in_window & overlaps, 1, 0).astype(np.int64)
+    labels[:doc_lo] = -100
+    labels[doc_hi:] = -100
     return labels
