@@ -57,7 +57,56 @@ from .postprocess import (
     summarize_contexts,
 )
 
-LOGGER = logging.getLogger(__name__)
+_LOG = logging.getLogger(__name__)
+
+
+class _Stopwatch:
+    """Accumulates wall-clock seconds per named phase.
+
+    ``with watch("preprocess"): ...`` adds the block's duration to that
+    phase; ``watch["preprocess"]`` reads the total. Re-entrant per phase.
+    """
+
+    def __init__(self):
+        self.totals: dict[str, float] = {}
+        self._stack: list[tuple[str, float]] = []
+
+    def begin(self, phase: str) -> None:
+        self._stack.append((phase, perf_counter()))
+
+    def end(self) -> None:
+        phase, began = self._stack.pop()
+        self.totals[phase] = self.totals.get(phase, 0.0) + perf_counter() - began
+
+    def __call__(self, phase: str) -> "_Stopwatch":
+        self.begin(phase)
+        return self
+
+    def __enter__(self) -> "_Stopwatch":
+        return self
+
+    def __exit__(self, *exc: Any) -> None:
+        self.end()
+
+    def __getitem__(self, phase: str) -> float:
+        return self.totals.get(phase, 0.0)
+
+    def add(self, phase: str, seconds: float) -> None:
+        self.totals[phase] = self.totals.get(phase, 0.0) + seconds
+
+
+def _debug_emitter(
+    debug_messages: bool | Callable[[str], None],
+) -> Callable[[str], None] | None:
+    """Map the ``debug_messages`` argument to an emitter: True → logger,
+    False → None, callable → itself."""
+    if debug_messages is True:
+        return _LOG.info
+    if debug_messages is False:
+        return None
+    if callable(debug_messages):
+        return debug_messages
+    raise TypeError("debug_messages must be a bool or a callable that accepts a string")
 
 
 class OpenProvenceRawPrediction:
@@ -316,7 +365,7 @@ class OpenProvenceModel:
         sep = self.tokenizer.sep_token or ""
         buckets = length_buckets(self.max_length, self.bucket_step)
 
-        results: list[OpenProvenceRawPrediction] = []
+        out: list[OpenProvenceRawPrediction] = []
         for lo in range(0, len(contexts_batch), step):
             rows = [
                 (queries[i], [str(c) for c in contexts_batch[i]])
@@ -341,18 +390,18 @@ class OpenProvenceModel:
             for row_idx, (q, ctxs) in enumerate(rows):
                 if not ctxs:
                     continue
-                results.append(
+                out.append(
                     OpenProvenceRawPrediction(
                         query=q,
                         contexts=ctxs,
                         ranking_score=float(rank[row_idx]),
                         pruning_probs=keep[row_idx][: len(id_rows[row_idx])],
-                        context_ranges=self._context_ranges_from_contexts(q, ctxs),
+                        context_ranges=self._token_windows_per_context(q, ctxs),
                     )
                 )
-        return results
+        return out
 
-    def _context_ranges_from_contexts(
+    def _token_windows_per_context(
         self, query: str, contexts: Sequence[str]
     ) -> list[tuple[int, int]]:
         """Token range of each context inside the joint encoding, found by
@@ -386,9 +435,9 @@ class OpenProvenceModel:
         standalone:1843-1881): mean-probability rule by default, majority of
         per-token votes with ``use_majority``. Empty token ranges always
         predict keep. Vectorized over numpy; the forward runs once."""
-        raw = self.get_raw_predictions(query, contexts)
-        probs = np.asarray(raw.pruning_probs, dtype=np.float32)
-        spans = np.asarray(raw.context_ranges, dtype=np.int64).reshape(-1, 2)
+        raw_pred = self.get_raw_predictions(query, contexts)
+        probs = np.asarray(raw_pred.pruning_probs, dtype=np.float32)
+        spans = np.asarray(raw_pred.context_ranges, dtype=np.int64).reshape(-1, 2)
         sizes = np.maximum(spans[:, 1] - spans[:, 0], 0)
         running = np.concatenate([[0.0], np.cumsum(probs, dtype=np.float64)])
         sums = running[np.minimum(spans[:, 1], len(probs))] - running[
@@ -396,34 +445,34 @@ class OpenProvenceModel:
         ]
         means = np.divide(sums, np.maximum(sizes, 1))
 
-        predictions: dict[float, list[int]] = {}
-        for threshold in thresholds:
+        by_threshold: dict[float, list[int]] = {}
+        for th in thresholds:
             if use_majority:
                 votes = np.array(
                     [
-                        np.count_nonzero(probs[lo:hi] > threshold)
-                        for lo, hi in raw.context_ranges
+                        np.count_nonzero(probs[lo:hi] > th)
+                        for lo, hi in raw_pred.context_ranges
                     ]
                 )
                 decided = votes >= sizes / 2
             else:
-                decided = means > threshold
-            predictions[threshold] = np.where(sizes == 0, 1, decided.astype(int)).tolist()
+                decided = means > th
+            by_threshold[th] = np.where(sizes == 0, 1, decided.astype(int)).tolist()
         return {
-            "query": raw.query,
-            "contexts": raw.contexts,
-            "ranking_score": raw.ranking_score,
-            "predictions": predictions,
-            "context_ranges": raw.context_ranges,
-            "pruning_probs": raw.pruning_probs,
+            "query": raw_pred.query,
+            "contexts": raw_pred.contexts,
+            "ranking_score": raw_pred.ranking_score,
+            "predictions": by_threshold,
+            "context_ranges": raw_pred.context_ranges,
+            "pruning_probs": raw_pred.pruning_probs,
         }
 
     # --- process() --------------------------------------------------------------
 
-    def _resolve_process_threshold(self, threshold: float | None) -> float:
+    def _threshold_or_default(self, threshold: float | None) -> float:
         return self.config.resolve_threshold(threshold)
 
-    def _precompute_sentences_and_tokens(
+    def _sentences_with_tokens(
         self,
         context_text: str,
         prefix_sentences: list[str],
@@ -438,10 +487,10 @@ class OpenProvenceModel:
         }
         raw_sentences = collect_candidate_sentences(example_payload, splitter)
         sentences = normalize_sentences(raw_sentences, context_text, strip_sentences)
-        token_lists = tokenize_sentences(self.tokenizer, sentences)
-        return sentences, token_lists
+        sentence_tokens = tokenize_sentences(self.tokenizer, sentences)
+        return sentences, sentence_tokens
 
-    def _make_preprocess_job(
+    def _prep_cell(
         self,
         query_idx: int,
         context_idx: int,
@@ -460,7 +509,7 @@ class OpenProvenceModel:
         else:
             text = context_entry
         prefixes, title_is_first = resolve_prefix_sentences(title_spec, context_idx)
-        sentences, token_lists = self._precompute_sentences_and_tokens(
+        sentences, token_lists = self._sentences_with_tokens(
             text, prefixes, manual, splitter, strip_sentences
         )
         return {
@@ -475,7 +524,7 @@ class OpenProvenceModel:
             "cached_token_lists": token_lists,
         }
 
-    def _build_preprocess_jobs(
+    def _plan_preprocessing(
         self,
         queries: list[str],
         contexts: list[list[Any]],
@@ -486,36 +535,35 @@ class OpenProvenceModel:
     ) -> tuple[list[dict[str, Any]], list[list[int]]]:
         """Flatten the (query, context) grid into preprocessing jobs and
         encode each query once (behavior of standalone:2436-2519)."""
-        query_token_ids = [
+        encoded_queries = [
             list(self.tokenizer.encode(q, add_special_tokens=False)) for q in queries
         ]
         jobs = [
-            self._make_preprocess_job(
+            self._prep_cell(
                 q_idx, c_idx, entry, titles[q_idx], splitter, strip_sentences
             )
             for q_idx, group in enumerate(contexts)
             for c_idx, entry in enumerate(group)
         ]
-        return jobs, query_token_ids
+        return jobs, encoded_queries
 
-    def _assemble_context_info(
+    def _cell_blocks(
         self,
         job: dict[str, Any],
         entry: dict[str, Any],
-        query_token_ids: list[list[int]],
-        sep_token_ids: list[int],
+        encoded_queries: list[list[int]],
+        sep_ids: list[int],
     ) -> tuple[tuple[int, int], dict[str, Any], list[dict[str, Any]]]:
         """One job's fragments → blocks + inference jobs
         (standalone:2649-2759)."""
         fragments = fragments_from_payload(entry)
         sentences: list[str] = entry.get("sentences", [])
-        query_idx = job["query_idx"]
-        context_idx = job["context_idx"]
+        query_idx, context_idx = job["query_idx"], job["context_idx"]
         blocks = assemble_blocks(
             self.tokenizer,
             self.max_length,
-            len(query_token_ids[query_idx]),
-            len(sep_token_ids),
+            len(encoded_queries[query_idx]),
+            len(sep_ids),
             fragments,
         )
         info = {
@@ -529,7 +577,7 @@ class OpenProvenceModel:
             "original_text": job["context_text"],
             "raw_blocks": [],
         }
-        inference_jobs = [
+        block_work = [
             {
                 "query_idx": query_idx,
                 "context_idx": context_idx,
@@ -537,19 +585,19 @@ class OpenProvenceModel:
             }
             for block_idx in range(len(blocks))
         ]
-        return (query_idx, context_idx), info, inference_jobs
+        return (query_idx, context_idx), info, block_work
 
     def _run_inference(
         self,
-        inference_jobs: list[dict[str, Any]],
+        block_work: list[dict[str, Any]],
         batch_size: int,
-        query_token_ids: list[list[int]],
-        contexts_info: dict[tuple[int, int], dict[str, Any]],
+        encoded_queries: list[list[int]],
+        cell_table: dict[tuple[int, int], dict[str, Any]],
         show_progress: bool,
     ) -> float:
         """Prepare block inputs, bucket them, run jitted forwards, attach raw
         predictions. Returns device-inference seconds."""
-        if not inference_jobs:
+        if not block_work:
             return 0.0
 
         # Device pooling is exact only when the title-prefix offset
@@ -557,17 +605,17 @@ class OpenProvenceModel:
         # in this call carries prefix token counts.
         use_device_pooling = self.device_pooling and all(
             not info.get("prefix_token_counts")
-            for info in contexts_info.values()
+            for info in cell_table.values()
         )
 
         # Prepare all block inputs on host first.
         prepared_all: list[dict[str, Any]] = []
-        for job in inference_jobs:
-            info = contexts_info[(job["query_idx"], job["context_idx"])]
+        for job in block_work:
+            info = cell_table[(job["query_idx"], job["context_idx"])]
             block_fragments: list[FragmentRecord] = info["blocks"][job["block_idx"]]
             input_ids, attention_mask, token_type_ids, ranges = (
                 self.tokenizer.prepare_block_inputs(
-                    query_token_ids[job["query_idx"]], block_fragments
+                    encoded_queries[job["query_idx"]], block_fragments
                 )
             )
             prepared_all.append(
@@ -641,7 +689,7 @@ class OpenProvenceModel:
                                 counts[row][:n_frags] > 0, means[row][:n_frags], 1.0
                             ),
                         )
-                        contexts_info[(job["query_idx"], job["context_idx"])][
+                        cell_table[(job["query_idx"], job["context_idx"])][
                             "raw_blocks"
                         ].append(scores)
                 else:
@@ -658,7 +706,7 @@ class OpenProvenceModel:
                             ).reshape(-1, 2),
                             token_probs=keep[row][:n_tokens],
                         )
-                        contexts_info[(job["query_idx"], job["context_idx"])][
+                        cell_table[(job["query_idx"], job["context_idx"])][
                             "raw_blocks"
                         ].append(scores)
             pending.clear()
@@ -668,7 +716,7 @@ class OpenProvenceModel:
                 chunk = entries[start : start + batch_size]
                 n_rows = self._bucket_rows(len(chunk), batch_size)
                 batch_arrays = pad_block_batch(chunk, seq_len, n_rows, pad_id)
-                infer_start = perf_counter()
+                t_dispatch = perf_counter()
                 if use_device_pooling:
                     # F == seq_len upper bound keeps the jit cache keyed by
                     # (batch, seq_len) only; empty slots have start == end.
@@ -692,7 +740,7 @@ class OpenProvenceModel:
                         batch_arrays["input_ids"], batch_arrays["attention_mask"]
                     )
                     res = fn(self.params, ids, mask)
-                inference_time += perf_counter() - infer_start
+                inference_time += perf_counter() - t_dispatch
                 pending.append((chunk, res))
                 if len(pending) >= FETCH_WINDOW:
                     _drain()
@@ -747,28 +795,21 @@ class OpenProvenceModel:
         ``enable_warnings`` gates the engine's logging-module warnings
         (counterpart of standalone:3427-3439).
         """
-        warn: Callable[[str], None] = LOGGER.warning if enable_warnings else (lambda _msg: None)
+        warn: Callable[[str], None] = _LOG.warning if enable_warnings else (lambda _msg: None)
         if torch_dataloader_kwargs:
             warn(
                 "torch_dataloader_kwargs is accepted for reference "
                 "compatibility but has no effect (no torch DataLoader here)."
             )
-        batch_size = max(1, batch_size)
-        threshold = self._resolve_process_threshold(threshold)
-        start_total = perf_counter()
+        batch_size = max(batch_size, 1)
+        threshold = self._threshold_or_default(threshold)
+        watch = _Stopwatch()
+        began = perf_counter()
 
         splitter = resolve_sentence_splitter(sentence_splitter, language)
-
-        debug_callback: Callable[[str], None] | None
-        if isinstance(debug_messages, bool):
-            debug_callback = LOGGER.info if debug_messages else None
-        elif callable(debug_messages):
-            debug_callback = debug_messages
-        else:
-            raise TypeError("debug_messages must be a bool or a callable that accepts a string")
-
+        emit_debug = _debug_emitter(debug_messages)
         if show_inference_progress is None:
-            show_inference_progress = show_progress
+            show_inference_progress = bool(show_progress)
 
         queries, contexts, structure = normalize_inputs(question, context)
         contexts, titles = resolve_titles(
@@ -777,10 +818,10 @@ class OpenProvenceModel:
         max_fragment_tokens = max_fragment_tokens_for(
             self.max_length, respect_sentence_boundaries
         )
-        sep_token_ids = self.tokenizer.sep_token_ids()
+        sep_ids = self.tokenizer.sep_token_ids()
 
-        preprocess_start = perf_counter()
-        preprocess_jobs, query_token_ids = self._build_preprocess_jobs(
+        watch.begin("prep")
+        prep_jobs, encoded_queries = self._plan_preprocessing(
             queries, contexts, titles, splitter, strip_sentences=strip_sentences
         )
 
@@ -806,13 +847,13 @@ class OpenProvenceModel:
         )
 
         workers, chunk_size, _prefetch = auto_tune_preprocess_loader(
-            total_jobs=len(preprocess_jobs),
+            total_jobs=len(prep_jobs),
             inference_batch_size=batch_size,
             current_workers=resolve_preprocess_workers(preprocess_workers),
             current_preprocess_batch=preprocess_batch_size,
             device_memory_bytes=estimate_device_memory_bytes(),
         )
-        if workers > 0 and len(preprocess_jobs) > 1:
+        if workers > 0 and len(prep_jobs) > 1:
             from concurrent.futures import ThreadPoolExecutor
 
             # ThreadPoolExecutor.map ignores chunksize (it only applies to
@@ -820,8 +861,8 @@ class OpenProvenceModel:
             # task fragmentizes a slice, amortizing executor overhead.
             span = max(1, int(chunk_size or 1))
             slices = [
-                preprocess_jobs[i : i + span]
-                for i in range(0, len(preprocess_jobs), span)
+                prep_jobs[i : i + span]
+                for i in range(0, len(prep_jobs), span)
             ]
             with ThreadPoolExecutor(max_workers=workers) as pool:
                 entries = [
@@ -832,89 +873,66 @@ class OpenProvenceModel:
                     for entry in batch
                 ]
         else:
-            entries = [_fragmentize(job) for job in preprocess_jobs]
+            entries = [_fragmentize(job) for job in prep_jobs]
 
-        timing_totals = {
-            "sentence_collect_seconds": 0.0,
-            "sentence_normalize_seconds": 0.0,
-            "tokenize_seconds": 0.0,
-            "fragment_split_seconds": 0.0,
-            "fragment_decode_seconds": 0.0,
-        }
-        contexts_info: dict[tuple[int, int], dict[str, Any]] = {}
-        inference_jobs: list[dict[str, Any]] = []
-        assembly_time = 0.0
-        for job, entry in zip(preprocess_jobs, entries):
-            timing_totals["sentence_collect_seconds"] += entry.pop(
-                "timing_sentence_collect", 0.0
-            )
-            timing_totals["sentence_normalize_seconds"] += entry.pop(
-                "timing_sentence_normalize", 0.0
-            )
-            timing_totals["tokenize_seconds"] += entry.pop("timing_tokenize", 0.0)
-            timing_totals["fragment_split_seconds"] += entry.pop(
-                "timing_fragment_split", 0.0
-            )
-            timing_totals["fragment_decode_seconds"] += entry.pop(
-                "timing_fragment_decode", 0.0
-            )
-            assembly_start = perf_counter()
-            key, info, jobs = self._assemble_context_info(
-                job, entry, query_token_ids, sep_token_ids
-            )
-            contexts_info[key] = info
-            inference_jobs.extend(jobs)
-            assembly_time += perf_counter() - assembly_start
-        preprocess_time = perf_counter() - preprocess_start - assembly_time
+        cell_table: dict[tuple[int, int], dict[str, Any]] = {}
+        block_work: list[dict[str, Any]] = []
+        for job, entry in zip(prep_jobs, entries):
+            for stage in ("sentence_collect", "sentence_normalize", "tokenize",
+                          "fragment_split", "fragment_decode"):
+                watch.add(stage, entry.pop(f"timing_{stage}", 0.0))
+            with watch("assembly"):
+                key, info, jobs = self._cell_blocks(
+                    job, entry, encoded_queries, sep_ids
+                )
+                cell_table[key] = info
+                block_work.extend(jobs)
+        watch.end()  # close "prep"
 
-        inference_time = self._run_inference(
-            inference_jobs,
+        device_seconds = self._run_inference(
+            block_work,
             batch_size,
-            query_token_ids,
-            contexts_info,
+            encoded_queries,
+            cell_table,
             show_inference_progress,
         )
+        watch.add("inference", device_seconds)
 
-        if show_progress and inference_jobs:
-            message = (
-                f"[OpenProvenceModel] Model inference time: {inference_time:.2f}s "
-                f"({len(inference_jobs)} blocks)"
+        if show_progress and block_work:
+            note = (
+                f"[OpenProvenceModel] Model inference time: {device_seconds:.2f}s "
+                f"({len(block_work)} blocks)"
             )
-            if debug_callback is None:
-                print(message, flush=True)
-            else:
-                debug_callback(message)
+            (emit_debug or (lambda m: print(m, flush=True)))(note)
 
-        post_start = perf_counter()
-        outcomes = summarize_contexts(
-            queries,
-            contexts,
-            contexts_info,
-            threshold=threshold,
-            always_select_title=always_select_title,
-            use_best_reranker_score=use_best_reranker_score,
-            first_line_as_title=first_line_as_title,
-            zero_score_when_empty=zero_score_when_empty,
-        )
-        if reorder:
-            outcomes = reorder_outcomes(outcomes, top_k=top_k)
-        post_time = perf_counter() - post_start
+        with watch("post"):
+            outcomes = summarize_contexts(
+                queries,
+                contexts,
+                cell_table,
+                threshold=threshold,
+                always_select_title=always_select_title,
+                use_best_reranker_score=use_best_reranker_score,
+                first_line_as_title=first_line_as_title,
+                zero_score_when_empty=zero_score_when_empty,
+            )
+            if reorder:
+                outcomes = reorder_outcomes(outcomes, top_k=top_k)
 
-        total_time = perf_counter() - start_total
-        performance_trace = ProcessPerformanceTrace(
-            preprocess_seconds=preprocess_time,
-            assembly_seconds=assembly_time,
-            inference_seconds=inference_time,
-            postprocess_seconds=post_time,
-            total_seconds=total_time,
-            sentence_collect_seconds=timing_totals["sentence_collect_seconds"],
-            sentence_normalize_seconds=timing_totals["sentence_normalize_seconds"],
-            tokenize_seconds=timing_totals["tokenize_seconds"],
-            fragment_split_seconds=timing_totals["fragment_split_seconds"],
-            fragment_decode_seconds=timing_totals["fragment_decode_seconds"],
+        trace = ProcessPerformanceTrace(
+            preprocess_seconds=watch["prep"] - watch["assembly"],
+            assembly_seconds=watch["assembly"],
+            inference_seconds=watch["inference"],
+            postprocess_seconds=watch["post"],
+            total_seconds=perf_counter() - began,
+            sentence_collect_seconds=watch["sentence_collect"],
+            sentence_normalize_seconds=watch["sentence_normalize"],
+            tokenize_seconds=watch["tokenize"],
+            fragment_split_seconds=watch["fragment_split"],
+            fragment_decode_seconds=watch["fragment_decode"],
         )
-        if debug_callback is not None:
-            debug_callback(f"[OpenProvenceModel] {performance_trace.timing_line()}")
+        if emit_debug is not None:
+            emit_debug(f"[OpenProvenceModel] {trace.timing_line()}")
 
         payload = build_payload(
             structure,
@@ -922,6 +940,6 @@ class OpenProvenceModel:
             include_sentence_texts=return_sentence_texts,
             include_sentence_probs=return_sentence_metrics,
         )
-        payload["timing"] = performance_trace.as_dict()
-        payload["performance_trace"] = performance_trace
+        payload["timing"] = trace.as_dict()
+        payload["performance_trace"] = trace
         return payload
