@@ -80,13 +80,14 @@ def train(
 
     mesh = create_mesh(data=training_args.mesh_data, model=training_args.mesh_model)
     num_devices = int(np.prod(mesh.devices.shape))
+    mesh_data_axis_size = int(mesh.devices.shape[0])
 
     eval_steps, logging_steps, total_steps = calculate_dynamic_steps(
         dataset_size=len(train_dataset),
         per_device_batch_size=training_args.per_device_train_batch_size,
         gradient_accumulation_steps=training_args.gradient_accumulation_steps,
         num_epochs=training_args.num_train_epochs,
-        num_devices=1,
+        num_devices=int(mesh_data_axis_size),
     )
     if max_steps_override is not None:
         total_steps = max_steps_override
@@ -149,10 +150,14 @@ def train(
         )
 
     # Pair dimension must be a fixed multiple of the data axis so the jitted
-    # step compiles once and shards evenly.
+    # step compiles once and shards evenly. ``per_device_train_batch_size``
+    # means queries PER DEVICE (the reference/HF convention,
+    # trainer.py:1509-1515): the global microbatch is per_device x data_axis,
+    # and the effective batch additionally multiplies by
+    # gradient_accumulation_steps.
     data_axis = mesh.devices.shape[0]
     max_docs = _max_docs(train_dataset)
-    queries_per_batch = training_args.per_device_train_batch_size
+    queries_per_batch = training_args.per_device_train_batch_size * data_axis
     pad_pairs_to = queries_per_batch * max_docs
     pad_pairs_to = ((pad_pairs_to + data_axis - 1) // data_axis) * data_axis
 
@@ -181,6 +186,7 @@ def train(
         pruning_weight=training_args.pruning_weight,
         bf16=training_args.bf16,
         gradient_checkpointing=training_args.gradient_checkpointing,
+        gradient_accumulation_steps=training_args.gradient_accumulation_steps,
         seed=training_args.seed,
         mesh=mesh,
         save_total_limit=training_args.save_total_limit,

@@ -191,6 +191,7 @@ class OpenProvenceTrainer:
         pruning_weight: float = 1.0,
         bf16: bool = True,
         gradient_checkpointing: bool = False,
+        gradient_accumulation_steps: int = 1,
         seed: int = 42,
         mesh: Any = None,
         tensor_parallel: bool = False,
@@ -208,6 +209,11 @@ class OpenProvenceTrainer:
         self.pruning_weight = pruning_weight
         self.bf16 = bf16
         self.gradient_checkpointing = gradient_checkpointing
+        if gradient_accumulation_steps < 1:
+            raise ValueError(
+                f"gradient_accumulation_steps must be >= 1, got {gradient_accumulation_steps}"
+            )
+        self.gradient_accumulation_steps = int(gradient_accumulation_steps)
         self.seed = seed
         self.save_total_limit = save_total_limit
         self.attention_impl = attention_impl
@@ -272,20 +278,53 @@ class OpenProvenceTrainer:
         # Shardings are inferred from the committed placements of params /
         # opt_state (replicated or TP-sharded) and the batch (data-sharded in
         # _prepare_batch); GSPMD inserts the gradient all-reduce over "data".
-        def step(params, opt_state, batch, dropout_rng):
-            def loss_fn(p):
-                total, components = self._loss_for_batch(
-                    p, batch, dropout_rng, deterministic=False
-                )
-                return total, components
+        accum = self.gradient_accumulation_steps
 
-            (loss, components), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params
-            )
+        grad_fn = jax.value_and_grad(
+            lambda p, mb, rng: self._loss_for_batch(p, mb, rng, deterministic=False),
+            has_aux=True,
+        )
+
+        def apply_update(params, opt_state, grads, loss, components):
             updates, new_opt_state = self.optimizer.update(grads, opt_state, params)
             new_params = optax.apply_updates(params, updates)
-            metrics = {"loss": loss, **components}
-            return new_params, new_opt_state, metrics
+            return new_params, new_opt_state, {"loss": loss, **components}
+
+        if accum == 1:
+
+            def step(params, opt_state, batch, dropout_rng):
+                (loss, components), grads = grad_fn(params, batch, dropout_rng)
+                return apply_update(params, opt_state, grads, loss, components)
+
+        else:
+            # Each batch leaf carries a leading microbatch axis [A, ...].
+            # lax.scan over microbatches keeps live memory at one microbatch's
+            # activations; grads/losses are averaged (matching the reference's
+            # HF-Trainer accumulation semantics, trainer.py:365-375) before a
+            # single optimizer update.
+            def step(params, opt_state, batch, dropout_rng):
+                rngs = jax.random.split(dropout_rng, accum)
+                first = jax.tree.map(lambda x: x[0], batch)
+                rest = jax.tree.map(lambda x: x[1:], batch)
+                (loss0, comps0), grads0 = grad_fn(params, first, rngs[0])
+
+                def micro(carry, xs):
+                    g_acc, l_acc, c_acc = carry
+                    mb, rng = xs
+                    (loss, comps), grads = grad_fn(params, mb, rng)
+                    return (
+                        jax.tree.map(jnp.add, g_acc, grads),
+                        l_acc + loss,
+                        jax.tree.map(jnp.add, c_acc, comps),
+                    ), None
+
+                (grads, loss, components), _ = jax.lax.scan(
+                    micro, (grads0, loss0, comps0), (rest, rngs[1:])
+                )
+                inv = 1.0 / accum
+                grads = jax.tree.map(lambda g: g * inv, grads)
+                components = jax.tree.map(lambda c: c * inv, components)
+                return apply_update(params, opt_state, grads, loss * inv, components)
 
         return jax.jit(step, donate_argnums=(0, 1))
 
@@ -310,13 +349,52 @@ class OpenProvenceTrainer:
             out[key] = jax.device_put(arr, sharding)
         return out
 
-    def train_one_step(self, batch: Mapping[str, np.ndarray]) -> dict[str, float]:
+    def _prepare_accum_batch(
+        self, batches: list[Mapping[str, np.ndarray]]
+    ) -> dict[str, jnp.ndarray]:
+        """Stack microbatches on a leading axis [A, ...], sharding the pair
+        axis (now axis 1) over the mesh data axis."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import DATA_AXIS
+
+        out: dict[str, jnp.ndarray] = {}
+        for key in batches[0]:
+            arr = np.stack([np.asarray(b[key]) for b in batches])
+            spec = P(None, DATA_AXIS, *([None] * (arr.ndim - 2)))
+            out[key] = jax.device_put(arr, NamedSharding(self.mesh, spec))
+        return out
+
+    def train_one_step(
+        self,
+        batch: Mapping[str, np.ndarray] | list[Mapping[str, np.ndarray]],
+    ) -> dict[str, float]:
+        """One optimizer step. With ``gradient_accumulation_steps > 1``,
+        ``batch`` must be a list of exactly that many microbatches."""
+        accum = self.gradient_accumulation_steps
+        if accum > 1:
+            if not isinstance(batch, (list, tuple)) or len(batch) != accum:
+                raise ValueError(
+                    f"gradient_accumulation_steps={accum} requires a list of "
+                    f"{accum} microbatches per step, got "
+                    f"{type(batch).__name__} of length "
+                    f"{len(batch) if isinstance(batch, (list, tuple)) else 'n/a'}"
+                )
+            device_batch = self._prepare_accum_batch(list(batch))
+        else:
+            if isinstance(batch, (list, tuple)):
+                if len(batch) != 1:
+                    raise ValueError(
+                        "Multiple microbatches passed but gradient_accumulation_steps == 1"
+                    )
+                batch = batch[0]
+            device_batch = self._prepare_batch(batch)
         self._rng, dropout_rng = jax.random.split(self._rng)
         with self.mesh:
             params, opt_state, metrics = self._train_step(
                 self.state.params,
                 self.state.opt_state,
-                self._prepare_batch(batch),
+                device_batch,
                 dropout_rng,
             )
         self.state = TrainState(
@@ -365,15 +443,24 @@ class OpenProvenceTrainer:
         accumulated: dict[str, float] = {}
         accum_count = 0
         iterator = train_batches()
-        while self.state.step < total_steps:
+
+        def _next_microbatch():
+            nonlocal iterator
             try:
-                batch = next(iterator)
+                return next(iterator)
             except StopIteration:
                 iterator = train_batches()
                 try:
-                    batch = next(iterator)
+                    return next(iterator)
                 except StopIteration:
-                    break
+                    return None
+
+        micro_per_step = self.gradient_accumulation_steps
+        while self.state.step < total_steps:
+            micro = [_next_microbatch() for _ in range(micro_per_step)]
+            if any(m is None for m in micro):
+                break
+            batch = micro if micro_per_step > 1 else micro[0]
             metrics = self.train_one_step(batch)
             for k, v in metrics.items():
                 accumulated[k] = accumulated.get(k, 0.0) + v
