@@ -75,7 +75,7 @@ class BackboneLayerNorm(nn.Module):
         checkpoint tree keeps this module's ``<name>/scale`` entry."""
         import os
 
-        from ..ops.attention import _default_platform
+        from ..ops.attention import pallas_platform_ok
 
         hidden = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (hidden,))
@@ -94,7 +94,7 @@ class BackboneLayerNorm(nn.Module):
             return h, scale
         use_fused = (
             bias is None
-            and _default_platform() == "tpu"
+            and pallas_platform_ok()
             and pallas_layer_norm_supported(x.shape)
             and x.dtype in (jnp.bfloat16, jnp.float32)
             and os.environ.get("OPEN_PROVENCE_TPU_FUSED_LN", "1") != "0"
@@ -150,12 +150,12 @@ def mlp_geglu_fusable(cfg: ModernBertBackboneConfig, rows: int, dtype) -> bool:
     """True when the MLP runs as the fused GeGLU Pallas kernel."""
     import os
 
-    from ..ops.attention import _default_platform
+    from ..ops.attention import pallas_platform_ok
     from ..ops.geglu import geglu_supported
 
     return (
         not cfg.mlp_bias
-        and _default_platform() == "tpu"
+        and pallas_platform_ok()
         and dtype in (jnp.bfloat16, jnp.float32)
         and geglu_supported(
             rows, cfg.hidden_size, cfg.intermediate_size,
@@ -169,13 +169,13 @@ def attn_ln_fusable(cfg: ModernBertBackboneConfig, rows: int, dtype) -> bool:
     """True when attn_norm can fold into a fused LN+Wqkv Pallas matmul."""
     import os
 
-    from ..ops.attention import _default_platform
+    from ..ops.attention import pallas_platform_ok
     from ..ops.geglu import ln_matmul_supported
 
     return (
         not cfg.attention_bias
         and not cfg.norm_bias
-        and _default_platform() == "tpu"
+        and pallas_platform_ok()
         and dtype in (jnp.bfloat16, jnp.float32)
         and ln_matmul_supported(
             rows, cfg.hidden_size, 3 * cfg.hidden_size,

@@ -30,6 +30,28 @@ def _default_platform() -> str:
     return jax.devices()[0].platform
 
 
+def pallas_interpret() -> bool:
+    """True when OPEN_PROVENCE_TPU_PALLAS_INTERPRET=1: run every Pallas
+    kernel through the interpreter, so CPU tests — including GSPMD-sharded
+    ones on the virtual mesh — exercise the real kernel code paths."""
+    return os.environ.get("OPEN_PROVENCE_TPU_PALLAS_INTERPRET", "0") == "1"
+
+
+def pallas_platform_ok() -> bool:
+    """Pallas kernels are usable: real TPU, or interpreter mode."""
+    return _default_platform() == "tpu" or pallas_interpret()
+
+
+def pallas_call(*args, **kwargs):
+    """``pl.pallas_call`` with ``interpret`` defaulted from
+    OPEN_PROVENCE_TPU_PALLAS_INTERPRET — the single entry point every kernel
+    in ops/ uses, so interpreter-mode tests cover the real kernels."""
+    from jax.experimental import pallas as pl
+
+    kwargs.setdefault("interpret", pallas_interpret())
+    return pl.pallas_call(*args, **kwargs)
+
+
 def attention_bias(
     padding_mask: jnp.ndarray | None,
     seq_len: int,
@@ -107,7 +129,7 @@ def multi_head_attention(
     seq_len = q.shape[2]
     if impl == "auto":
         use_pallas = False
-        if _default_platform() == "tpu" and seq_len >= PALLAS_MIN_SEQ:
+        if pallas_platform_ok() and seq_len >= PALLAS_MIN_SEQ:
             from .flash_attention import pallas_shapes_supported
 
             use_pallas = pallas_shapes_supported(q.shape)
@@ -155,4 +177,4 @@ def use_packed_flash(
         return False
     if impl == "pallas":
         return True
-    return _default_platform() == "tpu" and seq_len >= PALLAS_MIN_SEQ
+    return pallas_platform_ok() and seq_len >= PALLAS_MIN_SEQ

@@ -28,6 +28,8 @@ import os
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+
+from .attention import pallas_call as _pallas_call
 from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_BLOCK_Q = 128
@@ -362,7 +364,7 @@ def _flash_forward(
     kv_spec = pl.BlockSpec(
         (1, h_block, seq_len, head_dim), lambda b, h, i: (b, h, 0, 0)
     )
-    out = pl.pallas_call(
+    out = _pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -701,7 +703,7 @@ def _flash_backward(q, k, v, mask_arr, rope, out, lse, g, window, block_q, block
     mask_spec = pl.BlockSpec((1, 1, seq_len), lambda b, h, i: (b, 0, 0))
     rope_spec = pl.BlockSpec((2, seq_len, head_dim), lambda b, h, i: (0, 0, 0))
 
-    dq = pl.pallas_call(
+    dq = _pallas_call(
         functools.partial(_bwd_dq_kernel, **statics),
         grid=(batch, num_heads // h_block, seq_len // block_q),
         in_specs=[qblk_spec, full_spec, full_spec, qblk_spec, qrow_spec,
@@ -717,7 +719,7 @@ def _flash_backward(q, k, v, mask_arr, rope, out, lse, g, window, block_q, block
         ),
     )(q, k, v, g, lse, delta, mask_in, rope_in)
 
-    dk, dv = pl.pallas_call(
+    dk, dv = _pallas_call(
         functools.partial(_bwd_dkv_kernel, **statics),
         grid=(batch, num_heads // h_block, seq_len // block_k),
         in_specs=[full_spec, kblk_spec, kblk_spec, full_spec, full_row_spec,
@@ -1239,7 +1241,7 @@ def _flash_forward_packed(
         )
     out_spec = pl.BlockSpec((1, block_q, lane_blk), lambda b, h, i: (b, i, h))
     lse_spec = pl.BlockSpec((1, h_block, block_q, 1), lambda b, h, i: (b, h, i, 0))
-    return pl.pallas_call(
+    return _pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -1606,7 +1608,7 @@ def _flash_backward_packed(
     mask_spec = pl.BlockSpec((1, 1, seq_len), lambda b, h, i: (b, 0, 0))
     rope_spec = pl.BlockSpec((2, seq_len, head_dim), lambda b, h, i: (0, 0, 0))
 
-    dq = pl.pallas_call(
+    dq = _pallas_call(
         functools.partial(_bwd_dq_kernel_packed, **statics),
         grid=(batch, groups, seq_len // block_q),
         in_specs=[q_blk, k_full, v_full, g_blk, qrow, qrow, mask_spec, rope_spec],
@@ -1621,7 +1623,7 @@ def _flash_backward_packed(
         ),
     )(qkv, qkv, qkv, g, lse, delta, mask_in, rope_in)
 
-    dk, dv = pl.pallas_call(
+    dk, dv = _pallas_call(
         functools.partial(_bwd_dkv_kernel_packed, **statics),
         grid=(batch, groups, seq_len // block_k),
         in_specs=[q_full, k_blk, v_blk, g_full, full_row, full_row, mask_spec,

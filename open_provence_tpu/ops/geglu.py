@@ -32,6 +32,8 @@ import math
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+
+from .attention import pallas_call as _pallas_call
 from jax.experimental.pallas import tpu as pltpu
 
 _VMEM_BUDGET = 24 * 1024 * 1024
@@ -197,7 +199,7 @@ def _geglu_forward(x2d, wi, activation, ln_scale=None, ln_eps=1e-5):
         )
         extra_inputs = [ln_scale.reshape(1, k)]
         extra_specs = [pl.BlockSpec((1, k), lambda i: (0, 0))]
-    return pl.pallas_call(
+    return _pallas_call(
         kernel,
         grid=(m // bm,),
         in_specs=[
@@ -426,7 +428,7 @@ def _ln_geglu_bwd_pallas(x2d, ln_scale, wi, g, activation, eps):
     w_inp = wi[:, :intermediate]
     w_gate = wi[:, intermediate:]
     num_tiles = m // bm
-    dx, dwi, dscale = pl.pallas_call(
+    dx, dwi, dscale = _pallas_call(
         functools.partial(
             _ln_geglu_bwd_kernel,
             activation=activation, eps=eps, num_tiles=num_tiles,
@@ -516,7 +518,7 @@ def _ln_matmul_forward(x2d, ln_scale, w, eps):
     bm = _pick_block_m_matmul(m, k, n, itemsize)
     if bm is None:
         raise ValueError(f"fused_ln_matmul unsupported for M={m} K={k} N={n}")
-    return pl.pallas_call(
+    return _pallas_call(
         functools.partial(_ln_matmul_kernel, eps=eps),
         grid=(m // bm,),
         in_specs=[
@@ -614,7 +616,7 @@ def _ln_matmul_bwd_pallas(x2d, ln_scale, w, g, eps):
     itemsize = jnp.dtype(x2d.dtype).itemsize
     bm = _pick_block_m_matmul_bwd(m, k, n, itemsize)
     num_tiles = m // bm
-    dx, dw, dscale = pl.pallas_call(
+    dx, dw, dscale = _pallas_call(
         functools.partial(_ln_matmul_bwd_kernel, eps=eps, num_tiles=num_tiles),
         grid=(num_tiles,),
         in_specs=[

@@ -22,6 +22,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
+from .attention import pallas_call as _pallas_call
+
 _ROW_BLOCK = 256
 
 
@@ -38,7 +40,7 @@ def _ln_kernel(x_ref, w_ref, o_ref, *, eps: float):
 def _ln_forward(x2d: jnp.ndarray, scale: jnp.ndarray, eps: float) -> jnp.ndarray:
     rows, hidden = x2d.shape
     row_block = _ROW_BLOCK if rows % _ROW_BLOCK == 0 else rows
-    return pl.pallas_call(
+    return _pallas_call(
         functools.partial(_ln_kernel, eps=eps),
         grid=(rows // row_block,),
         in_specs=[
@@ -144,7 +146,7 @@ def _add_ln_kernel(x_ref, y_ref, w_ref, h_ref, o_ref, *, eps: float):
 def _add_ln_forward(x2d, y2d, scale, eps):
     rows, hidden = x2d.shape
     row_block = _ROW_BLOCK if rows % _ROW_BLOCK == 0 else rows
-    return pl.pallas_call(
+    return _pallas_call(
         functools.partial(_add_ln_kernel, eps=eps),
         grid=(rows // row_block,),
         in_specs=[
