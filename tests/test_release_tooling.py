@@ -114,3 +114,30 @@ def test_update_standalone_local(exported_checkpoint, tmp_path):
     rc = mod.main([str(local)])
     assert rc == 0
     assert (local / "modeling_open_provence_tpu.py").exists()
+
+
+def test_golden_parity_mechanism(exported_checkpoint):
+    """scripts/golden_parity.py end to end against the tiny fixture: the
+    expectations are taken from the fixture's own output, so this tests the
+    mechanism (load → quickstart → tolerance check → exit code), not the
+    published golden numbers (which need the real checkpoint + network)."""
+    sys.path.insert(0, str(REPO_ROOT / "scripts"))
+    import golden_parity
+
+    from make_toy_assets import build_tokenizer
+
+    tok, _ = build_tokenizer(exported_checkpoint.parent / "backbone")
+    result = golden_parity.run_quickstart(
+        str(exported_checkpoint), tokenizer=tok, show_progress=False
+    )
+    assert set(result) >= {"pruned_context", "reranking_score", "compression_rate"}
+
+    score = round(float(result["reranking_score"]), 4)
+    compression = round(float(result["compression_rate"]), 2)
+    assert golden_parity.check_result(
+        result, expect_score=score, expect_compression=compression
+    ) == []
+    failures = golden_parity.check_result(
+        result, expect_score=score + 1.0, expect_compression=compression
+    )
+    assert len(failures) == 1 and "reranking_score" in failures[0]

@@ -312,3 +312,33 @@ def test_golden_english_blocks():
     ]
     for text in cases:
         assert list(_iter_english_blocks(text)) == list(ref._iter_english_blocks(text))
+
+
+def test_japanese_splitter_fallback_without_fast_bunkai(monkeypatch):
+    """With fast-bunkai absent (the offline default here) the ja path must
+    use the terminator-scan splitter (reference standalone:1018-1029)."""
+    from open_provence_tpu.text import splitters
+
+    monkeypatch.setattr(splitters, "_FAST_BUNKAI_PROBED", True)
+    monkeypatch.setattr(splitters, "_FAST_BUNKAI_SPLITTER", None)
+    text = "今日は晴れです。明日は雨かな？"
+    assert splitters.japanese_sentence_splitter(text) == splitters.simple_sentence_splitter(text)
+
+
+def test_japanese_splitter_uses_fast_bunkai_when_available(monkeypatch):
+    """When the probe finds an engine, its output is used verbatim."""
+    from open_provence_tpu.text import splitters
+
+    monkeypatch.setattr(splitters, "_FAST_BUNKAI_PROBED", True)
+    monkeypatch.setattr(
+        splitters, "_FAST_BUNKAI_SPLITTER", lambda text: ["A。", "B。"]
+    )
+    assert splitters.japanese_sentence_splitter("A。B。") == ["A。", "B。"]
+
+
+def test_japanese_splitter_real_fast_bunkai():
+    pytest.importorskip("fast_bunkai")
+    from open_provence_tpu.text import splitters
+
+    pieces = splitters.japanese_sentence_splitter("今日は晴れです。明日は雨です。")
+    assert "".join(pieces) == "今日は晴れです。明日は雨です。"
