@@ -109,6 +109,149 @@ def _debug_emitter(
     raise TypeError("debug_messages must be a bool or a callable that accepts a string")
 
 
+class _BlockDispatcher:
+    """Buckets prepared block inputs by padded length and dispatches jitted
+    forwards AS BUCKETS FILL, so host fragmentation of later cells overlaps
+    device compute of earlier ones (jax dispatch is async; the device-tunnel
+    round trip alone measures 10-35 ms). Results are fetched in windowed
+    ``device_get`` batches — one tunnel round trip per window, not per batch.
+
+    The first batch flushes at half size to put the device to work early;
+    ``OPEN_PROVENCE_TPU_PIPELINE=0`` reverts to collect-then-dispatch.
+    """
+
+    FETCH_WINDOW = 256
+
+    def __init__(
+        self,
+        model: "OpenProvenceModel",
+        batch_size: int,
+        *,
+        use_device_pooling: bool,
+        cell_table: dict[tuple[int, int], dict[str, Any]],
+        watch: _Stopwatch,
+        progress: Any = None,
+        pipeline: bool = True,
+    ):
+        self.model = model
+        self.batch_size = batch_size
+        self.pooling = use_device_pooling
+        self.cell_table = cell_table
+        self.watch = watch
+        self.progress = progress
+        self.pipeline = pipeline
+        self._buckets = length_buckets(model.max_length, model.bucket_step)
+        self._buffers: dict[int, list[dict[str, Any]]] = {}
+        self._pending: list[tuple[list[dict[str, Any]], Any]] = []
+        self._dispatched = 0
+        self.total_blocks = 0
+
+    def add(self, entry: dict[str, Any]) -> None:
+        blen = bucket_length(
+            min(len(entry["input_ids"]), self.model.max_length), self._buckets
+        )
+        buf = self._buffers.setdefault(blen, [])
+        buf.append(entry)
+        self.total_blocks += 1
+        if not self.pipeline:
+            return
+        # Half-size first flush: on single-batch workloads the device would
+        # otherwise sit idle until the last cell is fragmentized.
+        threshold = (
+            max(8, self.batch_size // 2) if self._dispatched == 0 else self.batch_size
+        )
+        if len(buf) >= threshold:
+            self._dispatch(blen, buf[:])
+            buf.clear()
+
+    def finish(self) -> None:
+        """Dispatch every partial bucket, then fetch and attach everything."""
+        for blen in sorted(self._buffers):
+            buf = self._buffers[blen]
+            for lo in range(0, len(buf), self.batch_size):
+                self._dispatch(blen, buf[lo : lo + self.batch_size])
+            buf.clear()
+        self._drain()
+
+    def _dispatch(self, seq_len: int, chunk: list[dict[str, Any]]) -> None:
+        model = self.model
+        n_rows = model._bucket_rows(len(chunk), self.batch_size)
+        batch_arrays = pad_block_batch(
+            chunk, seq_len, n_rows, model.tokenizer.pad_token_id
+        )
+        with self.watch("inference"):
+            if self.pooling:
+                f_cap = model._frag_cap(max(len(e["ranges"]) for e in chunk))
+                frag_starts = np.zeros((n_rows, f_cap), dtype=np.int32)
+                frag_ends = np.zeros((n_rows, f_cap), dtype=np.int32)
+                for row, entry in enumerate(chunk):
+                    for j, (frag_lo, frag_hi) in enumerate(entry["ranges"]):
+                        frag_starts[row, j] = frag_lo
+                        frag_ends[row, j] = frag_hi
+                fn = model._pooled_forward_fn(n_rows, seq_len, f_cap)
+                ids, mask, fs, fe = model._shard_inputs(
+                    batch_arrays["input_ids"],
+                    batch_arrays["attention_mask"],
+                    frag_starts,
+                    frag_ends,
+                )
+                res = fn(model.params, ids, mask, fs, fe)
+            else:
+                fn = model._forward_fn(n_rows, seq_len)
+                ids, mask = model._shard_inputs(
+                    batch_arrays["input_ids"], batch_arrays["attention_mask"]
+                )
+                res = fn(model.params, ids, mask)
+        self._pending.append((chunk, res))
+        self._dispatched += 1
+        if self.progress is not None:
+            self.progress.update(1)
+        if len(self._pending) >= self.FETCH_WINDOW:
+            self._drain()
+
+    def _drain(self) -> None:
+        if not self._pending:
+            return
+        with self.watch("inference"):
+            fetched = jax.device_get([res for _, res in self._pending])
+        for (chunk, _), res in zip(self._pending, fetched):
+            if self.pooling:
+                rank, means = res
+                for row, entry in enumerate(chunk):
+                    work = entry["job"]
+                    n_frags = len(entry["ranges"])
+                    scores = BlockScores(
+                        order=work["block_idx"],
+                        rank=float(rank[row]),
+                        fragment_gids=entry["gids"],
+                        fragment_spans=np.asarray(
+                            entry["ranges"], dtype=np.int64
+                        ).reshape(-1, 2),
+                        fragment_means=means[row][:n_frags],
+                    )
+                    self.cell_table[(work["query_idx"], work["context_idx"])][
+                        "raw_blocks"
+                    ].append(scores)
+            else:
+                rank, keep = res
+                for row, entry in enumerate(chunk):
+                    work = entry["job"]
+                    n_tokens = len(entry["input_ids"])
+                    scores = BlockScores(
+                        order=work["block_idx"],
+                        rank=float(rank[row]),
+                        fragment_gids=entry["gids"],
+                        fragment_spans=np.asarray(
+                            entry["ranges"], dtype=np.int64
+                        ).reshape(-1, 2),
+                        token_probs=keep[row][:n_tokens],
+                    )
+                    self.cell_table[(work["query_idx"], work["context_idx"])][
+                        "raw_blocks"
+                    ].append(scores)
+        self._pending.clear()
+
+
 class OpenProvenceRawPrediction:
     """Raw pruning outputs for a (query, contexts) pair
     (standalone:451-459)."""
@@ -284,10 +427,22 @@ class OpenProvenceModel:
         rank, keep = fn(self.params, ids, mask)
         return np.asarray(jax.device_get(rank)), np.asarray(jax.device_get(keep))
 
-    def _pooled_forward_fn(self, batch: int, seq_len: int) -> Callable:
+    @staticmethod
+    def _frag_cap(n_frags: int) -> int:
+        """Bucket the per-row fragment capacity (power of two, min 16) so the
+        pooled jit cache stays small while [B, F] transfers stay ~F-sized
+        instead of seq_len-sized (16-32x smaller fetches over the tunnel)."""
+        cap = 16
+        while cap < n_frags:
+            cap *= 2
+        return cap
+
+    def _pooled_forward_fn(self, batch: int, seq_len: int, f_cap: int) -> Callable:
         """Forward + on-device fragment mean pooling: only [B] scores and
-        [B, F] fragment means cross the device boundary."""
-        key = (batch, seq_len)
+        [B, f_cap] fragment means cross the device boundary. Empty slots
+        (start == end) come back as 1.0 — the keep-everything sentinel the
+        postprocess expects — folded on device so counts never transfer."""
+        key = (batch, seq_len, f_cap)
         fn = self._jit_pool_cache.get(key)
         if fn is not None:
             return fn
@@ -308,7 +463,7 @@ class OpenProvenceModel:
             rank = ranking_score_from_logits(out["ranking_logits"])  # [B]
             keep = keep_probs_from_logits(out["pruning_logits"])  # [B, S]
             means, counts = fragment_mean_pool_ranges(keep, frag_starts, frag_ends)
-            return rank, means, counts
+            return rank, jnp.where(counts > 0, means, 1.0)
 
         fn = jax.jit(_run)
         self._jit_pool_cache[key] = fn
@@ -322,12 +477,12 @@ class OpenProvenceModel:
         frag_ends: np.ndarray,
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         batch, seq_len = input_ids.shape
-        fn = self._pooled_forward_fn(batch, seq_len)
+        fn = self._pooled_forward_fn(batch, seq_len, frag_starts.shape[1])
         ids, mask, fs, fe = self._shard_inputs(
             input_ids, attention_mask, frag_starts, frag_ends
         )
-        rank, means, counts = jax.device_get(fn(self.params, ids, mask, fs, fe))
-        return np.asarray(rank), np.asarray(means), np.asarray(counts)
+        rank, means = jax.device_get(fn(self.params, ids, mask, fs, fe))
+        return np.asarray(rank), np.asarray(means)
 
     # --- raw prediction APIs ---------------------------------------------------
 
@@ -472,24 +627,6 @@ class OpenProvenceModel:
     def _threshold_or_default(self, threshold: float | None) -> float:
         return self.config.resolve_threshold(threshold)
 
-    def _sentences_with_tokens(
-        self,
-        context_text: str,
-        prefix_sentences: list[str],
-        manual_sentences: list[str] | None,
-        splitter: SentenceSplitter,
-        strip_sentences: bool,
-    ) -> tuple[list[str], list[list[int]]]:
-        example_payload = {
-            "context_text": context_text,
-            "prefix_sentences": prefix_sentences,
-            "manual_sentences": manual_sentences,
-        }
-        raw_sentences = collect_candidate_sentences(example_payload, splitter)
-        sentences = normalize_sentences(raw_sentences, context_text, strip_sentences)
-        sentence_tokens = tokenize_sentences(self.tokenizer, sentences)
-        return sentences, sentence_tokens
-
     def _prep_cell(
         self,
         query_idx: int,
@@ -500,8 +637,9 @@ class OpenProvenceModel:
         strip_sentences: bool,
     ) -> dict[str, Any]:
         """Preprocessing unit for one (query, context) cell: resolved title
-        prefixes plus eagerly computed sentences/token lists (so the
-        thread-parallel fragmentize stage only splits and decodes)."""
+        prefixes plus split+normalized sentences. Token lists are attached
+        afterwards by one tokenizer call spanning every cell
+        (:meth:`_plan_preprocessing`)."""
         manual: list[str] | None = None
         if isinstance(context_entry, list):
             manual = [str(s) for s in context_entry if str(s).strip()]
@@ -509,19 +647,23 @@ class OpenProvenceModel:
         else:
             text = context_entry
         prefixes, title_is_first = resolve_prefix_sentences(title_spec, context_idx)
-        sentences, token_lists = self._sentences_with_tokens(
-            text, prefixes, manual, splitter, strip_sentences
+        raw_sentences = collect_candidate_sentences(
+            {
+                "context_text": text,
+                "prefix_sentences": prefixes,
+                "manual_sentences": manual,
+            },
+            splitter,
         )
+        sentences = normalize_sentences(raw_sentences, text, strip_sentences)
         return {
             "query_idx": query_idx,
             "context_idx": context_idx,
             "context_text": text,
             "prefix_sentences": prefixes,
             "title_is_first_sentence": title_is_first,
-            "prefix_token_counts": [len(ids) for ids in token_lists[: len(prefixes)]],
             "manual_sentences": manual,
             "cached_sentences": sentences,
-            "cached_token_lists": token_lists,
         }
 
     def _plan_preprocessing(
@@ -534,7 +676,12 @@ class OpenProvenceModel:
         strip_sentences: bool,
     ) -> tuple[list[dict[str, Any]], list[list[int]]]:
         """Flatten the (query, context) grid into preprocessing jobs and
-        encode each query once (behavior of standalone:2436-2519)."""
+        encode each query once (behavior of standalone:2436-2519).
+
+        Only title-prefix sentences are tokenized here (one small batched
+        call across every cell); the bulk sentence tokenization happens
+        inside each cell's fragmentize stage so the pipelined dispatcher can
+        start device work before later cells are even tokenized."""
         encoded_queries = [
             list(self.tokenizer.encode(q, add_special_tokens=False)) for q in queries
         ]
@@ -545,6 +692,17 @@ class OpenProvenceModel:
             for q_idx, group in enumerate(contexts)
             for c_idx, entry in enumerate(group)
         ]
+        prefix_flat: list[str] = []
+        for job in jobs:
+            prefix_flat.extend(job["prefix_sentences"])
+        prefix_token_lists = tokenize_sentences(self.tokenizer, prefix_flat)
+        cursor = 0
+        for job in jobs:
+            n = len(job["prefix_sentences"])
+            job["prefix_token_counts"] = [
+                len(ids) for ids in prefix_token_lists[cursor : cursor + n]
+            ]
+            cursor += n
         return jobs, encoded_queries
 
     def _cell_blocks(
@@ -587,170 +745,26 @@ class OpenProvenceModel:
         ]
         return (query_idx, context_idx), info, block_work
 
-    def _run_inference(
+    def _prepare_block(
         self,
-        block_work: list[dict[str, Any]],
-        batch_size: int,
-        encoded_queries: list[list[int]],
-        cell_table: dict[tuple[int, int], dict[str, Any]],
-        show_progress: bool,
-    ) -> float:
-        """Prepare block inputs, bucket them, run jitted forwards, attach raw
-        predictions. Returns device-inference seconds."""
-        if not block_work:
-            return 0.0
-
-        # Device pooling is exact only when the title-prefix offset
-        # correction never applies (standalone:3075-3081) — i.e. no context
-        # in this call carries prefix token counts.
-        use_device_pooling = self.device_pooling and all(
-            not info.get("prefix_token_counts")
-            for info in cell_table.values()
+        work: dict[str, Any],
+        query_ids: list[int],
+        block_fragments: list[FragmentRecord],
+    ) -> dict[str, Any]:
+        """Host-side inputs for one block: token ids, mask, fragment token
+        ranges, and fragment global ids."""
+        input_ids, attention_mask, _token_type_ids, ranges = (
+            self.tokenizer.prepare_block_inputs(query_ids, block_fragments)
         )
-
-        # Prepare all block inputs on host first.
-        prepared_all: list[dict[str, Any]] = []
-        for job in block_work:
-            info = cell_table[(job["query_idx"], job["context_idx"])]
-            block_fragments: list[FragmentRecord] = info["blocks"][job["block_idx"]]
-            input_ids, attention_mask, token_type_ids, ranges = (
-                self.tokenizer.prepare_block_inputs(
-                    encoded_queries[job["query_idx"]], block_fragments
-                )
-            )
-            prepared_all.append(
-                {
-                    "job": job,
-                    "input_ids": input_ids,
-                    "attention_mask": attention_mask,
-                    "ranges": ranges,
-                    "gids": np.array(
-                        [f.global_index for f in block_fragments], dtype=np.int64
-                    ),
-                }
-            )
-
-        # Group by length bucket, preserving job order within a bucket.
-        buckets = length_buckets(self.max_length, self.bucket_step)
-        by_bucket: dict[int, list[dict[str, Any]]] = {}
-        for entry in prepared_all:
-            blen = bucket_length(
-                min(len(entry["input_ids"]), self.max_length), buckets
-            )
-            by_bucket.setdefault(blen, []).append(entry)
-
-        inference_time = 0.0
-        pad_id = self.tokenizer.pad_token_id
-        iterator = sorted(by_bucket.items())
-        progress = None
-        if show_progress:
-            try:
-                from tqdm import tqdm
-
-                total = sum(
-                    (len(v) + batch_size - 1) // batch_size for _, v in iterator
-                )
-                progress = tqdm(total=total, desc="Model inference", unit="batch", leave=False)
-            except Exception:
-                progress = None
-
-        # Dispatch-then-fetch: every host sync over the device tunnel costs a
-        # full round trip, and the old fetch-per-batch loop paid 3-5 of them
-        # per batch (measured 126-194 ms/batch against ~37 ms of compute at
-        # B=32, S=512). Phase 1 enqueues every bucket batch (jax dispatch is
-        # async, so compute and input transfers overlap); phase 2 fetches a
-        # window of results in ONE device_get; phase 3 attaches on host.
-        # The window bounds host+device memory for the pending [B, S]
-        # outputs (~0.25 MB each) on very large workloads.
-        FETCH_WINDOW = 256
-        pending: list[tuple[list[dict[str, Any]], Any]] = []
-
-        def _drain() -> None:
-            nonlocal inference_time
-            if not pending:
-                return
-            fetch_start = perf_counter()
-            fetched = jax.device_get([res for _, res in pending])
-            inference_time += perf_counter() - fetch_start
-            for (chunk, _), res in zip(pending, fetched):
-                if use_device_pooling:
-                    rank, means, counts = res
-                    for row, entry in enumerate(chunk):
-                        job = entry["job"]
-                        n_frags = len(entry["ranges"])
-                        scores = BlockScores(
-                            order=job["block_idx"],
-                            rank=float(rank[row]),
-                            fragment_gids=entry["gids"],
-                            fragment_spans=np.asarray(
-                                entry["ranges"], dtype=np.int64
-                            ).reshape(-1, 2),
-                            fragment_means=np.where(
-                                counts[row][:n_frags] > 0, means[row][:n_frags], 1.0
-                            ),
-                        )
-                        cell_table[(job["query_idx"], job["context_idx"])][
-                            "raw_blocks"
-                        ].append(scores)
-                else:
-                    rank, keep = res
-                    for row, entry in enumerate(chunk):
-                        job = entry["job"]
-                        n_tokens = len(entry["input_ids"])
-                        scores = BlockScores(
-                            order=job["block_idx"],
-                            rank=float(rank[row]),
-                            fragment_gids=entry["gids"],
-                            fragment_spans=np.asarray(
-                                entry["ranges"], dtype=np.int64
-                            ).reshape(-1, 2),
-                            token_probs=keep[row][:n_tokens],
-                        )
-                        cell_table[(job["query_idx"], job["context_idx"])][
-                            "raw_blocks"
-                        ].append(scores)
-            pending.clear()
-
-        for seq_len, entries in iterator:
-            for start in range(0, len(entries), batch_size):
-                chunk = entries[start : start + batch_size]
-                n_rows = self._bucket_rows(len(chunk), batch_size)
-                batch_arrays = pad_block_batch(chunk, seq_len, n_rows, pad_id)
-                t_dispatch = perf_counter()
-                if use_device_pooling:
-                    # F == seq_len upper bound keeps the jit cache keyed by
-                    # (batch, seq_len) only; empty slots have start == end.
-                    frag_starts = np.zeros((n_rows, seq_len), dtype=np.int32)
-                    frag_ends = np.zeros((n_rows, seq_len), dtype=np.int32)
-                    for row, entry in enumerate(chunk):
-                        for j, (frag_start, frag_end) in enumerate(entry["ranges"]):
-                            frag_starts[row, j] = frag_start
-                            frag_ends[row, j] = frag_end
-                    fn = self._pooled_forward_fn(n_rows, seq_len)
-                    ids, mask, fs, fe = self._shard_inputs(
-                        batch_arrays["input_ids"],
-                        batch_arrays["attention_mask"],
-                        frag_starts,
-                        frag_ends,
-                    )
-                    res = fn(self.params, ids, mask, fs, fe)
-                else:
-                    fn = self._forward_fn(n_rows, seq_len)
-                    ids, mask = self._shard_inputs(
-                        batch_arrays["input_ids"], batch_arrays["attention_mask"]
-                    )
-                    res = fn(self.params, ids, mask)
-                inference_time += perf_counter() - t_dispatch
-                pending.append((chunk, res))
-                if len(pending) >= FETCH_WINDOW:
-                    _drain()
-                if progress is not None:
-                    progress.update(1)
-        _drain()
-
-        if progress is not None:
-            progress.close()
-        return inference_time
+        return {
+            "job": work,
+            "input_ids": input_ids,
+            "attention_mask": attention_mask,
+            "ranges": ranges,
+            "gids": np.array(
+                [f.global_index for f in block_fragments], dtype=np.int64
+            ),
+        }
 
     def process(
         self,
@@ -853,55 +867,84 @@ class OpenProvenceModel:
             current_preprocess_batch=preprocess_batch_size,
             device_memory_bytes=estimate_device_memory_bytes(),
         )
-        if workers > 0 and len(prep_jobs) > 1:
-            from concurrent.futures import ThreadPoolExecutor
+        def _entries():
+            """Fragmentized entries in job order, yielded lazily so the
+            dispatcher can put the device to work while later cells are
+            still being tokenized."""
+            if workers > 0 and len(prep_jobs) > 1:
+                from concurrent.futures import ThreadPoolExecutor
 
-            # ThreadPoolExecutor.map ignores chunksize (it only applies to
-            # process pools), so chunk the job list by hand: each worker
-            # task fragmentizes a slice, amortizing executor overhead.
-            span = max(1, int(chunk_size or 1))
-            slices = [
-                prep_jobs[i : i + span]
-                for i in range(0, len(prep_jobs), span)
-            ]
-            with ThreadPoolExecutor(max_workers=workers) as pool:
-                entries = [
-                    entry
+                # ThreadPoolExecutor.map ignores chunksize (it only applies
+                # to process pools), so chunk the job list by hand: each
+                # worker task fragmentizes a slice.
+                span = max(1, int(chunk_size or 1))
+                slices = [
+                    prep_jobs[i : i + span]
+                    for i in range(0, len(prep_jobs), span)
+                ]
+                with ThreadPoolExecutor(max_workers=workers) as pool:
                     for batch in pool.map(
                         lambda jobs: [_fragmentize(j) for j in jobs], slices
-                    )
-                    for entry in batch
-                ]
-        else:
-            entries = [_fragmentize(job) for job in prep_jobs]
+                    ):
+                        yield from batch
+            else:
+                for job in prep_jobs:
+                    yield _fragmentize(job)
 
-        cell_table: dict[tuple[int, int], dict[str, Any]] = {}
-        block_work: list[dict[str, Any]] = []
-        for job, entry in zip(prep_jobs, entries):
+        # Device pooling is exact only when the title-prefix offset
+        # correction never applies (standalone:3075-3081) — i.e. no cell
+        # in this call carries prefix token counts.
+        use_device_pooling = self.device_pooling and all(
+            not job["prefix_token_counts"] for job in prep_jobs
+        )
+        progress = None
+        if show_inference_progress:
+            try:
+                from tqdm import tqdm
+
+                progress = tqdm(desc="Model inference", unit="batch", leave=False)
+            except Exception:
+                progress = None
+        import os as _os
+
+        dispatcher = _BlockDispatcher(
+            self,
+            batch_size,
+            use_device_pooling=use_device_pooling,
+            cell_table=(cell_table := {}),
+            watch=watch,
+            progress=progress,
+            pipeline=_os.environ.get("OPEN_PROVENCE_TPU_PIPELINE", "1") != "0",
+        )
+        for job, entry in zip(prep_jobs, _entries()):
             for stage in ("sentence_collect", "sentence_normalize", "tokenize",
                           "fragment_split", "fragment_decode"):
                 watch.add(stage, entry.pop(f"timing_{stage}", 0.0))
             with watch("assembly"):
-                key, info, jobs = self._cell_blocks(
+                key, info, works = self._cell_blocks(
                     job, entry, encoded_queries, sep_ids
                 )
                 cell_table[key] = info
-                block_work.extend(jobs)
+                prepared = [
+                    self._prepare_block(
+                        work, encoded_queries[key[0]], info["blocks"][work["block_idx"]]
+                    )
+                    for work in works
+                ]
+            for block_entry in prepared:
+                dispatcher.add(block_entry)
+        dispatch_during_prep = watch["inference"]
         watch.end()  # close "prep"
 
-        device_seconds = self._run_inference(
-            block_work,
-            batch_size,
-            encoded_queries,
-            cell_table,
-            show_inference_progress,
-        )
-        watch.add("inference", device_seconds)
+        dispatcher.finish()
+        if progress is not None:
+            progress.close()
+        device_seconds = watch["inference"]
 
-        if show_progress and block_work:
+        if show_progress and dispatcher.total_blocks:
             note = (
                 f"[OpenProvenceModel] Model inference time: {device_seconds:.2f}s "
-                f"({len(block_work)} blocks)"
+                f"({dispatcher.total_blocks} blocks)"
             )
             (emit_debug or (lambda m: print(m, flush=True)))(note)
 
@@ -920,7 +963,11 @@ class OpenProvenceModel:
                 outcomes = reorder_outcomes(outcomes, top_k=top_k)
 
         trace = ProcessPerformanceTrace(
-            preprocess_seconds=watch["prep"] - watch["assembly"],
+            # "prep" wraps the pipelined loop, so dispatch time that landed
+            # inside it is excluded along with assembly.
+            preprocess_seconds=max(
+                0.0, watch["prep"] - watch["assembly"] - dispatch_during_prep
+            ),
             assembly_seconds=watch["assembly"],
             inference_seconds=watch["inference"],
             postprocess_seconds=watch["post"],
