@@ -94,16 +94,64 @@ def main() -> None:
     )
 
     pairs_per_sec = batch * iters / elapsed
-    print(
-        json.dumps(
-            {
-                "metric": "qc_pairs_per_sec_per_chip_base512",
-                "value": round(pairs_per_sec, 2),
-                "unit": "pairs/s",
-                "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 3),
-            }
-        )
-    )
+
+    payload = {
+        "metric": "qc_pairs_per_sec_per_chip_base512",
+        "value": round(pairs_per_sec, 2),
+        "unit": "pairs/s",
+        "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 3),
+    }
+    e2e = _process_e2e_pairs_per_sec()
+    if e2e is not None:
+        payload["e2e_pairs_per_sec"] = round(e2e, 1)
+    print(json.dumps(payload))
+
+
+def _process_e2e_pairs_per_sec() -> float | None:
+    """End-to-end process() throughput on the bench_suite synthetic workload
+    (text in → pruned text out, host prep + device + postprocess). Reported
+    alongside the forward headline so the driver records what users actually
+    get; None (field omitted) if anything in the e2e path fails."""
+    try:
+        import sys
+        import tempfile
+        from pathlib import Path
+
+        import jax
+        import jax.numpy as jnp
+
+        sys.path.insert(0, str(Path(__file__).resolve().parent / "scripts"))
+        import bench_suite
+        from make_toy_assets import build_tokenizer
+
+        import open_provence_tpu as op
+        from open_provence_tpu.inference import OpenProvenceModel
+        from open_provence_tpu.models.model import build_module
+
+        with tempfile.TemporaryDirectory() as tmp:
+            tokenizer, vocab_size = build_tokenizer(Path(tmp))
+            backbone = op.ModernBertBackboneConfig(
+                vocab_size=vocab_size + 64, num_labels=1
+            )
+            config = op.OpenProvenceConfig(
+                base_model_config=backbone.to_dict(),
+                num_labels=1,
+                pruning_config={"hidden_size": 768, "classifier_dropout": 0.0},
+                max_length=512,
+            )
+            module = build_module(config)
+            params = module.init(
+                jax.random.PRNGKey(0),
+                np.zeros((1, 8), dtype=np.int32),
+                np.ones((1, 8), dtype=np.int32),
+                attention_impl="xla",
+            )["params"]
+            dtype = jnp.bfloat16 if jax.devices()[0].platform == "tpu" else None
+            model = OpenProvenceModel(config, params, tokenizer, dtype=dtype)
+            entry = bench_suite.bench_process(model, iters=5)
+            return float(entry["pairs_per_sec"])
+    except Exception:
+        return None
 
 
 if __name__ == "__main__":

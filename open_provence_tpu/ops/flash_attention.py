@@ -1686,6 +1686,13 @@ def _flash_packed_bwd(window, block_q, block_k, num_heads, residuals, g):
             # counterpart — the dq/dkv kernels band-skip at the grid level,
             # so give them their own grid-friendly blocks.
             block_q, block_k = pick_block_sizes(seq_len, window)
+        bwd_env = os.environ.get("OPEN_PROVENCE_TPU_BWD_BLOCKS")
+        if bwd_env:
+            # Independent backward tile tuning ("bq,bk"): the dq/dkv kernels'
+            # best shapes need not match the forward's.
+            bq, bk = (int(x) for x in bwd_env.split(","))
+            if seq_len % bq == 0 and seq_len % bk == 0:
+                block_q, block_k = bq, bk
         dqkv = _flash_backward_packed(
             qkv, num_heads, mask_arr, rope, out, lse, g, window, block_q, block_k
         )

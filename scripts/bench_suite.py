@@ -59,7 +59,7 @@ def bench_forward(module, params, batch, seq, iters=8):
     }
 
 
-def bench_process(model, n_pairs=32, sentences_per_doc=24, iters=3):
+def bench_process(model, n_pairs=32, sentences_per_doc=24, iters=10):
     rng = np.random.default_rng(0)
     words = "sushi ramen kyoto market travel budget deadline plants river temple".split()
     questions = [f"what about {rng.choice(words)} ?" for _ in range(n_pairs)]
@@ -70,7 +70,8 @@ def bench_process(model, n_pairs=32, sentences_per_doc=24, iters=3):
         )
         for _ in range(n_pairs)
     ]
-    # Warmup (compiles the buckets).
+    # Warmup twice (compiles the buckets; second run settles jit caches).
+    model.process(questions, contexts, threshold=0.1, show_progress=False)
     model.process(questions, contexts, threshold=0.1, show_progress=False)
     start = time.perf_counter()
     for _ in range(iters):
