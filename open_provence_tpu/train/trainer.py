@@ -230,7 +230,14 @@ class OpenProvenceTrainer:
             weight_decay=weight_decay,
             max_grad_norm=max_grad_norm,
         )
-        params = jax.tree.map(jnp.asarray, params)
+        # Take ownership with a fresh device copy: the jitted step donates the
+        # param buffers, and jax.device_put aliases (rather than copies) arrays
+        # whose placement already matches — without the copy, the first step
+        # would delete the CALLER's arrays out from under it.
+        params = jax.tree.map(
+            lambda x: jnp.copy(x) if isinstance(x, jax.Array) else jnp.asarray(x),
+            params,
+        )
         with self.mesh:
             if tensor_parallel:
                 from ..parallel.mesh import shard_params
@@ -368,9 +375,16 @@ class OpenProvenceTrainer:
     def train_one_step(
         self,
         batch: Mapping[str, np.ndarray] | list[Mapping[str, np.ndarray]],
-    ) -> dict[str, float]:
+        *,
+        sync: bool = True,
+    ) -> dict[str, Any]:
         """One optimizer step. With ``gradient_accumulation_steps > 1``,
-        ``batch`` must be a list of exactly that many microbatches."""
+        ``batch`` must be a list of exactly that many microbatches.
+
+        ``sync=False`` returns the metrics as device arrays without the
+        blocking host fetch — steps then stream back-to-back on the device
+        (one tunnel round trip per LOGGED step instead of per step); call
+        ``jax.device_get`` on the returned dict when a value is needed."""
         accum = self.gradient_accumulation_steps
         if accum > 1:
             if not isinstance(batch, (list, tuple)) or len(batch) != accum:
@@ -400,6 +414,8 @@ class OpenProvenceTrainer:
         self.state = TrainState(
             params=params, opt_state=opt_state, step=self.state.step + 1
         )
+        if not sync:
+            return metrics
         return {k: float(v) for k, v in jax.device_get(metrics).items()}
 
     def evaluate(self, eval_batches: Iterator[Mapping[str, np.ndarray]]) -> dict[str, float]:
@@ -440,9 +456,20 @@ class OpenProvenceTrainer:
         if resume_from is not None:
             self.load_checkpoint(resume_from)
 
-        accumulated: dict[str, float] = {}
-        accum_count = 0
+        # Per-step metrics stay on device between log points; one windowed
+        # device_get per LOGGED step keeps steps streaming back-to-back
+        # instead of paying a blocking tunnel round trip per step.
+        pending_metrics: list[dict[str, Any]] = []
         iterator = train_batches()
+
+        def _flush_pending() -> dict[str, float]:
+            fetched = jax.device_get(pending_metrics)
+            pending_metrics.clear()
+            totals: dict[str, float] = {}
+            for entry in fetched:
+                for k, v in entry.items():
+                    totals[k] = totals.get(k, 0.0) + float(v)
+            return {k: v / len(fetched) for k, v in totals.items()}
 
         def _next_microbatch():
             nonlocal iterator
@@ -461,15 +488,11 @@ class OpenProvenceTrainer:
             if any(m is None for m in micro):
                 break
             batch = micro if micro_per_step > 1 else micro[0]
-            metrics = self.train_one_step(batch)
-            for k, v in metrics.items():
-                accumulated[k] = accumulated.get(k, 0.0) + v
-            accum_count += 1
+            pending_metrics.append(self.train_one_step(batch, sync=False))
 
             step = self.state.step
-            if logging_steps and step % logging_steps == 0 and accum_count:
-                self.log({k: v / accum_count for k, v in accumulated.items()})
-                accumulated, accum_count = {}, 0
+            if logging_steps and step % logging_steps == 0 and pending_metrics:
+                self.log(_flush_pending())
             if eval_batches is not None and eval_steps and step % eval_steps == 0:
                 eval_metrics = self.evaluate(eval_batches())
                 self.log(eval_metrics)
@@ -479,8 +502,8 @@ class OpenProvenceTrainer:
             if save_steps and step % save_steps == 0:
                 self.save_checkpoint()
 
-        if accum_count:
-            self.log({k: v / accum_count for k, v in accumulated.items()})
+        if pending_metrics:
+            self.log(_flush_pending())
         if (
             load_best_model_at_end
             and self.best_checkpoint is not None

@@ -390,6 +390,38 @@ def test_trainer_smoke_loss_decreases(tmp_path):
     assert "ranking_loss" in metrics and "pruning_loss" in metrics
 
 
+def test_trainer_owns_param_copies_and_deferred_sync(tmp_path):
+    """The donated train step must never delete the CALLER's param arrays:
+    two trainers built from the same (device-resident) params both step.
+    Also covers sync=False: metrics come back as device arrays, fetchable
+    after several streamed steps."""
+    import jax
+    import jax.numpy as jnp
+
+    trainer, collator, mesh = _tiny_training_setup(tmp_path)
+    batch = _train_batch(collator)
+    # Device-resident params, as a caller converting a checkpoint would hold.
+    shared = jax.tree.map(jnp.asarray, jax.device_get(trainer.state.params))
+
+    from open_provence_tpu.train.trainer import OpenProvenceTrainer
+
+    def make(out_dir):
+        return OpenProvenceTrainer(
+            trainer.config, shared, trainer.tokenizer,
+            output_dir=out_dir, learning_rate=1e-3, total_steps=4,
+            bf16=False, mesh=mesh, attention_impl="xla",
+        )
+
+    t1 = make(tmp_path / "one")
+    t1.train_one_step(batch)  # donates t1's buffers — must not touch `shared`
+    t2 = make(tmp_path / "two")  # would raise "Array has been deleted" pre-fix
+    pending = [t2.train_one_step(batch, sync=False) for _ in range(3)]
+    fetched = jax.device_get(pending)
+    assert all(np.isfinite(float(m["loss"])) for m in fetched)
+    # The shared tree itself is still alive.
+    assert np.isfinite(float(np.sum(jax.device_get(jax.tree.leaves(shared)[0]))))
+
+
 def test_trainer_checkpoint_roundtrip(tmp_path):
     trainer, collator, _ = _tiny_training_setup(tmp_path)
     batch = _train_batch(collator)
