@@ -38,7 +38,7 @@ from ..models.model import (
 from ..text.fragmentation import (
     FragmentRecord,
     assemble_blocks,
-    fragmentize_job,
+    fragmentize_jobs,
     fragments_from_payload,
     max_fragment_tokens_for,
     normalize_sentences,
@@ -682,8 +682,10 @@ class OpenProvenceModel:
         call across every cell); the bulk sentence tokenization happens
         inside each cell's fragmentize stage so the pipelined dispatcher can
         start device work before later cells are even tokenized."""
+        # One batched encode for every query (a per-query encode() pays the
+        # Rust-call overhead len(queries) times).
         encoded_queries = [
-            list(self.tokenizer.encode(q, add_special_tokens=False)) for q in queries
+            list(ids) for ids in tokenize_sentences(self.tokenizer, [str(q) for q in queries])
         ]
         jobs = [
             self._prep_cell(
@@ -839,10 +841,10 @@ class OpenProvenceModel:
             queries, contexts, titles, splitter, strip_sentences=strip_sentences
         )
 
-        def _fragmentize(job: dict[str, Any]) -> dict[str, Any]:
-            return fragmentize_job(
+        def _fragmentize_chunk(jobs: list[dict[str, Any]]) -> list[dict[str, Any]]:
+            return fragmentize_jobs(
                 self.tokenizer,
-                job,
+                jobs,
                 max_fragment_tokens=max_fragment_tokens,
                 splitter=splitter,
                 strip_sentences=strip_sentences,
@@ -870,26 +872,25 @@ class OpenProvenceModel:
         def _entries():
             """Fragmentized entries in job order, yielded lazily so the
             dispatcher can put the device to work while later cells are
-            still being tokenized."""
-            if workers > 0 and len(prep_jobs) > 1:
+            still being tokenized. Each chunk is fragmentized with ONE
+            tokenizer encode + ONE decode (fragmentize_jobs) — the Rust
+            per-call overhead dominates per-job calls."""
+            span = max(1, int(chunk_size or 1))
+            slices = [
+                prep_jobs[i : i + span] for i in range(0, len(prep_jobs), span)
+            ]
+            if workers > 0 and len(slices) > 1:
                 from concurrent.futures import ThreadPoolExecutor
 
                 # ThreadPoolExecutor.map ignores chunksize (it only applies
-                # to process pools), so chunk the job list by hand: each
-                # worker task fragmentizes a slice.
-                span = max(1, int(chunk_size or 1))
-                slices = [
-                    prep_jobs[i : i + span]
-                    for i in range(0, len(prep_jobs), span)
-                ]
+                # to process pools), so the job list is chunked by hand:
+                # each worker task fragmentizes one slice.
                 with ThreadPoolExecutor(max_workers=workers) as pool:
-                    for batch in pool.map(
-                        lambda jobs: [_fragmentize(j) for j in jobs], slices
-                    ):
+                    for batch in pool.map(_fragmentize_chunk, slices):
                         yield from batch
             else:
-                for job in prep_jobs:
-                    yield _fragmentize(job)
+                for jobs in slices:
+                    yield from _fragmentize_chunk(jobs)
 
         # Device pooling is exact only when the title-prefix offset
         # correction never applies (standalone:3075-3081) — i.e. no cell

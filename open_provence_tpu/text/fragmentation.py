@@ -183,22 +183,29 @@ def decode_and_filter_fragments(
     return _pieces_to_payload(rows)
 
 
-def fragmentize_job(
+def fragmentize_jobs(
     tokenizer: Any,
-    job: Mapping[str, Any],
+    jobs: Sequence[Mapping[str, Any]],
     *,
     max_fragment_tokens: int,
     splitter: SentenceSplitter,
     strip_sentences: bool,
     respect_sentence_boundaries: bool,
-) -> dict[str, Any]:
-    """Full fragmentation of one preprocessing job (standalone:897-943) with
-    the reference's per-stage timing keys (standalone:934-941).
+) -> list[dict[str, Any]]:
+    """Fragmentize a CHUNK of preprocessing jobs with cross-job batched
+    tokenizer calls (same observable per-job output as standalone:897-943).
+
+    The Rust tokenizer's per-call overhead dominates small batches, so the
+    sentence encode and fragment decode each happen ONCE for the whole chunk
+    (one ``encode_batch`` / one ``batch_decode``) and are split back per job.
+    Stage timings (standalone:934-941) are measured per batch stage and
+    attributed evenly across the chunk — their sum over a call is exact.
 
     ``cached_sentences`` / ``cached_token_lists`` short-circuit the split and
     tokenize stages when the engine precomputed them.
     """
-    context_text = str(job.get("context_text", ""))
+    if not jobs:
+        return []
     timings = dict.fromkeys(
         (
             "timing_sentence_collect",
@@ -209,55 +216,119 @@ def fragmentize_job(
         ),
         0.0,
     )
+    context_texts = [str(job.get("context_text", "")) for job in jobs]
 
-    def timed(key: str, fn, *args):
-        tick = perf_counter()
-        value = fn(*args)
-        timings[key] += perf_counter() - tick
-        return value
+    # Stage 1: sentence collect + normalize (splitter is per-context work).
+    sentences_per_job: list[list[str]] = []
+    for job, context_text in zip(jobs, context_texts):
+        cached_sentences = job.get("cached_sentences")
+        if cached_sentences is None:
+            tick = perf_counter()
+            raw = collect_candidate_sentences(job, splitter)
+            timings["timing_sentence_collect"] += perf_counter() - tick
+            tick = perf_counter()
+            sentences = normalize_sentences(raw, context_text, strip_sentences)
+            timings["timing_sentence_normalize"] += perf_counter() - tick
+        else:
+            sentences = [str(s) for s in cached_sentences]
+        sentences_per_job.append(sentences)
 
-    cached_sentences = job.get("cached_sentences")
-    if cached_sentences is None:
-        raw = timed("timing_sentence_collect", collect_candidate_sentences, job, splitter)
-        sentences = timed(
-            "timing_sentence_normalize", normalize_sentences, raw, context_text, strip_sentences
-        )
-    else:
-        sentences = [str(s) for s in cached_sentences]
+    # Stage 2: ONE batched encode across every job that needs tokenizing.
+    tick = perf_counter()
+    flat_sentences: list[str] = []
+    for job, sentences in zip(jobs, sentences_per_job):
+        if job.get("cached_token_lists") is None:
+            flat_sentences.extend(sentences)
+    flat_token_lists = tokenize_sentences(tokenizer, flat_sentences)
+    token_lists_per_job: list[list[list[int]]] = []
+    cursor = 0
+    for job, sentences in zip(jobs, sentences_per_job):
+        cached_tokens = job.get("cached_token_lists")
+        if cached_tokens is None:
+            n = len(sentences)
+            token_lists_per_job.append(flat_token_lists[cursor : cursor + n])
+            cursor += n
+        else:
+            token_lists_per_job.append([[int(t) for t in ids] for ids in cached_tokens])
+    timings["timing_tokenize"] += perf_counter() - tick
 
-    cached_tokens = job.get("cached_token_lists")
-    if cached_tokens is None:
-        token_lists = timed("timing_tokenize", tokenize_sentences, tokenizer, sentences)
-    else:
-        token_lists = [[int(t) for t in ids] for ids in cached_tokens]
-
-    pieces = timed(
-        "timing_fragment_split",
-        lambda: split_token_lists(
+    # Stage 3: fragment split (pure Python, cheap) + empty-context fallback.
+    tick = perf_counter()
+    pieces_per_job: list[list[Piece]] = [
+        split_token_lists(
             token_lists,
             max_fragment_tokens,
             keep_sentence_boundaries=respect_sentence_boundaries,
-        ),
-    )
-    if not pieces:
-        whole = fallback_sentence(context_text, strip_sentences)
-        pieces = [(list(tokenizer.encode(whole, add_special_tokens=False)), 0, 0, 0)]
-
-    payload = timed(
-        "timing_fragment_decode",
-        lambda: decode_and_filter_fragments(tokenizer, pieces, strip_sentences=strip_sentences),
-    )
-    if not payload["fragment_token_ids"]:
-        # Everything decoded to empty text: keep the first fragment anyway so
-        # downstream always sees at least one (standalone's fallback).
-        ids, sent_idx, frag_idx, global_idx = pieces[0]
-        decoded = tokenizer.decode(
-            ids, skip_special_tokens=True, clean_up_tokenization_spaces=False
         )
-        shown = decoded.strip() if strip_sentences else decoded
-        payload = _pieces_to_payload([(shown, (ids, sent_idx, frag_idx, global_idx))])
+        for token_lists in token_lists_per_job
+    ]
+    for pos, pieces in enumerate(pieces_per_job):
+        if not pieces:
+            whole = fallback_sentence(context_texts[pos], strip_sentences)
+            pieces_per_job[pos] = [
+                (list(tokenizer.encode(whole, add_special_tokens=False)), 0, 0, 0)
+            ]
+    timings["timing_fragment_split"] += perf_counter() - tick
 
-    return {"sentences": sentences, **timings, **payload}
+    # Stage 4: ONE batched decode across every fragment in the chunk.
+    tick = perf_counter()
+    flat_ids = [ids for pieces in pieces_per_job for ids, *_ in pieces]
+    flat_texts = (
+        tokenizer.batch_decode(
+            flat_ids, skip_special_tokens=True, clean_up_tokenization_spaces=False
+        )
+        if flat_ids
+        else []
+    )
+    payloads: list[dict[str, list[Any]]] = []
+    cursor = 0
+    for pieces in pieces_per_job:
+        texts = flat_texts[cursor : cursor + len(pieces)]
+        cursor += len(pieces)
+        rows: list[tuple[str, Piece]] = []
+        for text, piece in zip(texts, pieces):
+            shown = text.strip() if strip_sentences else text
+            if shown if strip_sentences else text:
+                rows.append((shown, piece))
+        payload = _pieces_to_payload(rows)
+        if not payload["fragment_token_ids"]:
+            # Everything decoded to empty text: keep the first fragment anyway
+            # so downstream always sees at least one (standalone's fallback).
+            ids, sent_idx, frag_idx, global_idx = pieces[0]
+            decoded = tokenizer.decode(
+                ids, skip_special_tokens=True, clean_up_tokenization_spaces=False
+            )
+            shown = decoded.strip() if strip_sentences else decoded
+            payload = _pieces_to_payload([(shown, (ids, sent_idx, frag_idx, global_idx))])
+        payloads.append(payload)
+    timings["timing_fragment_decode"] += perf_counter() - tick
+
+    share = {key: value / len(jobs) for key, value in timings.items()}
+    return [
+        {"sentences": sentences, **share, **payload}
+        for sentences, payload in zip(sentences_per_job, payloads)
+    ]
+
+
+def fragmentize_job(
+    tokenizer: Any,
+    job: Mapping[str, Any],
+    *,
+    max_fragment_tokens: int,
+    splitter: SentenceSplitter,
+    strip_sentences: bool,
+    respect_sentence_boundaries: bool,
+) -> dict[str, Any]:
+    """Full fragmentation of one preprocessing job (standalone:897-943):
+    the single-job view of :func:`fragmentize_jobs`."""
+    return fragmentize_jobs(
+        tokenizer,
+        [job],
+        max_fragment_tokens=max_fragment_tokens,
+        splitter=splitter,
+        strip_sentences=strip_sentences,
+        respect_sentence_boundaries=respect_sentence_boundaries,
+    )[0]
 
 
 def fragments_from_payload(payload: Mapping[str, Any]) -> list[FragmentRecord]:

@@ -109,8 +109,28 @@ class TokenizerAdapter:
     def decode(self, *args: Any, **kwargs: Any) -> Any:
         return self.tokenizer.decode(*args, **kwargs)
 
-    def batch_decode(self, *args: Any, **kwargs: Any) -> Any:
-        return self.tokenizer.batch_decode(*args, **kwargs)
+    def batch_decode(self, sequences: Any = None, /, *args: Any, **kwargs: Any) -> Any:
+        # transformers' batch_decode is a PYTHON loop of per-sequence Rust
+        # decode calls; the fast backend's decode_batch crosses into Rust
+        # once. Semantics match exactly when no cleanup is requested (HF's
+        # _decode with clean_up_tokenization_spaces=False is the raw Rust
+        # decode).
+        backend = getattr(self.tokenizer, "_tokenizer", None)
+        if (
+            sequences is not None
+            and not args
+            and backend is not None
+            and hasattr(backend, "decode_batch")
+            and kwargs.get("clean_up_tokenization_spaces") is False
+            and set(kwargs) <= {"skip_special_tokens", "clean_up_tokenization_spaces"}
+        ):
+            return backend.decode_batch(
+                [[int(t) for t in seq] for seq in sequences],
+                skip_special_tokens=bool(kwargs.get("skip_special_tokens", False)),
+            )
+        if sequences is None:
+            return self.tokenizer.batch_decode(*args, **kwargs)
+        return self.tokenizer.batch_decode(sequences, *args, **kwargs)
 
     @property
     def sep_token(self) -> str:
