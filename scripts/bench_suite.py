@@ -156,6 +156,8 @@ def main() -> None:
     parser.add_argument("--skip-process", action="store_true")
     parser.add_argument("--train-step", action="store_true",
                         help="Also time the full train step (fwd+bwd+optimizer).")
+    parser.add_argument("--only-process", action="store_true",
+                        help="Run just the process() e2e bench and merge it into --out.")
     args = parser.parse_args()
 
     import jax
@@ -186,15 +188,19 @@ def main() -> None:
     )
 
     platform = jax.devices()[0].platform
-    results: dict = {"platform": platform, "model": "modernbert-base-149M", "forward": []}
+    if args.only_process and args.out and args.out.exists():
+        results = json.loads(args.out.read_text())
+    else:
+        results = {"platform": platform, "model": "modernbert-base-149M", "forward": []}
 
     shapes = [(32, 512), (8, 2048), (2, 8192)] if platform == "tpu" else [(4, 128)]
-    for batch, seq in shapes:
-        entry = bench_forward(module, params, batch, seq)
-        results["forward"].append(entry)
-        print(json.dumps(entry), flush=True)
+    if not args.only_process:
+        for batch, seq in shapes:
+            entry = bench_forward(module, params, batch, seq)
+            results["forward"].append(entry)
+            print(json.dumps(entry), flush=True)
 
-    if args.train_step:
+    if args.train_step and not args.only_process:
         # Per-chip batch sweep: the adafactor update is per-param (batch-
         # independent), so larger no-remat batches amortize it; remat-256 is
         # the r01/r02 artifact shape for continuity. Headline "train_step" =
