@@ -156,6 +156,43 @@ def test_fragmentize_job_roundtrip():
     assert all(len(ids) <= 4 for ids in entry["fragment_token_ids"])
 
 
+def test_fragmentize_jobs_matches_per_job_results():
+    """The chunk-batched path must be observably identical per job to the
+    single-job path (timing keys excluded), including the empty-context and
+    cached-token short-circuit cases."""
+    from open_provence_tpu.text.fragmentation import fragmentize_jobs
+
+    tok = DummyTokenizer()
+    splitter = lambda t: [s + " " for s in t.split() if s] or [t]  # noqa: E731
+    jobs = [
+        {"context_text": "abcdef. ghij.", "prefix_sentences": []},
+        {"context_text": "", "prefix_sentences": []},  # fallback: whole context
+        {
+            "context_text": "xy",
+            "prefix_sentences": [],
+            "cached_sentences": ["xy"],
+            "cached_token_lists": [[120, 121]],
+        },
+        {"context_text": "klm nop qrstuv wx", "prefix_sentences": []},
+    ]
+    kwargs = dict(
+        max_fragment_tokens=4,
+        splitter=splitter,
+        strip_sentences=False,
+        respect_sentence_boundaries=False,
+    )
+    batched = fragmentize_jobs(tok, jobs, **kwargs)
+    singles = [fragmentize_job(tok, job, **kwargs) for job in jobs]
+
+    def strip_timing(entry):
+        return {k: v for k, v in entry.items() if not k.startswith("timing_")}
+
+    assert [strip_timing(e) for e in batched] == [strip_timing(e) for e in singles]
+    # Timing keys still present and summable.
+    assert all(k in batched[0] for k in (
+        "timing_tokenize", "timing_fragment_decode", "timing_fragment_split"))
+
+
 def test_assemble_blocks_packing_and_truncation():
     tok = DummyTokenizer()
     job = {"context_text": "x" * 40, "prefix_sentences": []}
