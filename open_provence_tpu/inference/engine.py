@@ -869,16 +869,15 @@ class OpenProvenceModel:
             current_preprocess_batch=preprocess_batch_size,
             device_memory_bytes=estimate_device_memory_bytes(),
         )
+        span = max(1, int(chunk_size or 1))
+        slices = [prep_jobs[i : i + span] for i in range(0, len(prep_jobs), span)]
+
         def _entries():
             """Fragmentized entries in job order, yielded lazily so the
             dispatcher can put the device to work while later cells are
             still being tokenized. Each chunk is fragmentized with ONE
             tokenizer encode + ONE decode (fragmentize_jobs) — the Rust
             per-call overhead dominates per-job calls."""
-            span = max(1, int(chunk_size or 1))
-            slices = [
-                prep_jobs[i : i + span] for i in range(0, len(prep_jobs), span)
-            ]
             if workers > 0 and len(slices) > 1:
                 from concurrent.futures import ThreadPoolExecutor
 
@@ -908,6 +907,10 @@ class OpenProvenceModel:
                 progress = None
         import os as _os
 
+        # The half-size early flush only pays when later chunks are still
+        # fragmentizing while the device works; with a single prep chunk all
+        # entries materialize together, and splitting the batch would just run
+        # two smaller (less MXU-efficient) forwards back to back.
         dispatcher = _BlockDispatcher(
             self,
             batch_size,
@@ -915,7 +918,10 @@ class OpenProvenceModel:
             cell_table=(cell_table := {}),
             watch=watch,
             progress=progress,
-            pipeline=_os.environ.get("OPEN_PROVENCE_TPU_PIPELINE", "1") != "0",
+            pipeline=(
+                _os.environ.get("OPEN_PROVENCE_TPU_PIPELINE", "1") != "0"
+                and len(slices) > 1
+            ),
         )
         for job, entry in zip(prep_jobs, _entries()):
             for stage in ("sentence_collect", "sentence_normalize", "tokenize",

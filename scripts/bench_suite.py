@@ -261,6 +261,12 @@ def main() -> None:
             entry = bench_process(model)
             results["process"] = entry
             print(json.dumps(entry), flush=True)
+            # Larger workload where the per-call tunnel round trip (~30 ms
+            # fixed on axon) amortizes — closer to what co-located serving
+            # would see per 32 pairs.
+            entry = bench_process(model, n_pairs=256, iters=4)
+            results["process_256"] = entry
+            print(json.dumps(entry), flush=True)
 
     if args.out:
         args.out.write_text(json.dumps(results, indent=2))
