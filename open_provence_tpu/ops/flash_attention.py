@@ -1133,7 +1133,11 @@ def banded_sub_blocks(
         return None
     if os.environ.get("OPEN_PROVENCE_TPU_BANDED", "1") == "0":
         return None
-    sub_env = os.environ.get("OPEN_PROVENCE_TPU_BANDED_SUB", "128,128")
+    # (128, 256) won the r3 one-variant-per-process sweep at S=2048:
+    # 347.0k tok/s model-level vs 303.9k at (128,128), 329.7k at (256,256),
+    # 308.8k at (256,128) — wide k sub-tiles amortize MXU weight reloads
+    # while a narrow sub_q keeps each walk's band coverage tight.
+    sub_env = os.environ.get("OPEN_PROVENCE_TPU_BANDED_SUB", "128,256")
     sub_q, sub_k = (int(x) for x in sub_env.split(","))
     # Fully-static variant only: one q program spanning the sequence.
     if (

@@ -295,8 +295,8 @@ def test_banded_kernel_parity_and_policy(monkeypatch):
 
     monkeypatch.setenv("OPEN_PROVENCE_TPU_BANDED", "1")
     # Policy: one-q-program case, ≤50% band coverage, S within VMEM cap.
-    assert banded_sub_blocks(1024, 1024, 64) == (128, 128)
-    assert banded_sub_blocks(2048, 2048, 64) == (128, 128)
+    assert banded_sub_blocks(1024, 1024, 64) == (128, 256)
+    assert banded_sub_blocks(2048, 2048, 64) == (128, 256)
     assert banded_sub_blocks(512, 512, 64) is None    # coverage 75% > 50%
     assert banded_sub_blocks(2048, 2048, None) is None
     assert banded_sub_blocks(2048, 512, 64) is None   # multi-program grid
