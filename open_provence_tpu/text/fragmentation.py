@@ -125,9 +125,15 @@ def normalize_sentences(
 
 
 def tokenize_sentences(tokenizer: Any, sentences: Sequence[str]) -> list[list[int]]:
-    """Batch-encode sentences without special tokens (standalone:664-672)."""
+    """Batch-encode sentences without special tokens (standalone:664-672).
+
+    Uses the adapter's Rust-direct ``encode_batch_ids`` when available (it
+    skips the HF per-sequence Encoding→dict conversion)."""
     if not sentences:
         return []
+    fast = getattr(tokenizer, "encode_batch_ids", None)
+    if fast is not None:
+        return fast(sentences)
     encoded = tokenizer(
         list(sentences), add_special_tokens=False, return_attention_mask=False
     )

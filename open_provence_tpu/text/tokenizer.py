@@ -106,6 +106,38 @@ class TokenizerAdapter:
     def encode(self, *args: Any, **kwargs: Any) -> Any:
         return self.tokenizer.encode(*args, **kwargs)
 
+    def encode_batch_ids(self, texts: Sequence[str]) -> list[list[int]]:
+        """Token ids (no specials) for a batch of texts, skipping the HF
+        wrapper's per-sequence Encoding→dict conversion (it builds offsets/
+        masks nobody reads here — measured as the top host-prep cost).
+
+        Falls back to the HF call when the backend carries sticky
+        truncation/padding state (HF resets it per call; raw encode_batch
+        would silently inherit it) or there is no fast backend."""
+        texts = [str(t) for t in texts]
+        if not texts:
+            return []
+        backend = getattr(self.tokenizer, "_tokenizer", None)
+        if (
+            backend is not None
+            and getattr(backend, "truncation", None) is None
+            and getattr(backend, "padding", None) is None
+        ):
+            try:
+                encodings = backend.encode_batch(texts, add_special_tokens=False)
+                return [list(e.ids) for e in encodings]
+            except Exception:
+                pass
+        encoded = self.tokenizer(
+            texts, add_special_tokens=False, return_attention_mask=False
+        )
+        ids = (
+            encoded.get("input_ids", [])
+            if hasattr(encoded, "get")
+            else getattr(encoded, "input_ids", [])
+        )
+        return [list(row) for row in ids]
+
     def decode(self, *args: Any, **kwargs: Any) -> Any:
         return self.tokenizer.decode(*args, **kwargs)
 

@@ -156,6 +156,44 @@ def test_fragmentize_job_roundtrip():
     assert all(len(ids) <= 4 for ids in entry["fragment_token_ids"])
 
 
+def test_encode_batch_ids_matches_hf_call(tmp_path):
+    """The Rust-direct encode fast path must produce the ids the HF wrapper
+    returns, and fall back cleanly when truncation state is active or the
+    tokenizer has no fast backend."""
+    import sys as _sys
+
+    _sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    from make_toy_assets import build_tokenizer
+
+    hf_tok, _ = build_tokenizer(tmp_path)
+    adapter = TokenizerAdapter(hf_tok)
+    texts = ["sushi ramen kyoto", "a", "", "market travel budget deadline"]
+    via_hf = hf_tok(texts, add_special_tokens=False, return_attention_mask=False)[
+        "input_ids"
+    ]
+    assert adapter.encode_batch_ids(texts) == [list(r) for r in via_hf]
+
+    # Sticky-truncation guard: with backend truncation enabled the fast path
+    # must defer to HF (which resets state per call).
+    backend = hf_tok._tokenizer
+    backend.enable_truncation(max_length=2)
+    try:
+        assert adapter.encode_batch_ids(texts) == [
+            list(r)
+            for r in hf_tok(texts, add_special_tokens=False, return_attention_mask=False)[
+                "input_ids"
+            ]
+        ]
+    finally:
+        backend.no_truncation()
+
+    # Slow tokenizer (no backend): fallback path.
+    slow = TokenizerAdapter(DummyTokenizer())
+    assert slow.encode_batch_ids(["ab"]) == [
+        list(DummyTokenizer()(["ab"], add_special_tokens=False)["input_ids"][0])
+    ]
+
+
 def test_fragmentize_jobs_matches_per_job_results():
     """The chunk-batched path must be observably identical per job to the
     single-job path (timing keys excluded), including the empty-context and
