@@ -188,15 +188,13 @@ class TokenizerAdapter:
         """[CLS] query [SEP] frag… [SEP] + attention mask + token_type_ids +
         per-fragment token ranges (standalone:2104-2196)."""
         tokenizer = self.tokenizer
-        query_list = [int(t) for t in query_tokens]
+        # map(int, ·) over a genexpr of per-token casts: this runs once per
+        # block over up to max_length ids, and fragment/query ids are already
+        # ints from the Rust encode path.
+        query_list = list(map(int, query_tokens))
         context_tokens: list[int] = []
         for fragment in fragments:
-            context_tokens.extend(int(t) for t in fragment.token_ids)
-
-        built_with_specials = [
-            int(t)
-            for t in tokenizer.build_inputs_with_special_tokens(query_list, context_tokens)
-        ]
+            context_tokens.extend(fragment.token_ids)
 
         if self.manual_special_tokens:
             input_ids: list[int] = []
@@ -209,10 +207,13 @@ class TokenizerAdapter:
             if self.manual_sep_token_id is not None and context_tokens:
                 input_ids.append(self.manual_sep_token_id)
         else:
+            built_with_specials = tokenizer.build_inputs_with_special_tokens(
+                query_list, context_tokens
+            )
             if built_with_specials:
-                input_ids = built_with_specials
+                input_ids = list(map(int, built_with_specials))
             else:
-                input_ids = list(query_list) + list(context_tokens)
+                input_ids = query_list + context_tokens
 
         attention_mask = [1] * len(input_ids)
 
@@ -225,7 +226,7 @@ class TokenizerAdapter:
             token_type_ids = None
         else:
             if token_type_ids is not None:
-                token_type_ids = [int(t) for t in token_type_ids]
+                token_type_ids = list(map(int, token_type_ids))
 
         from ..native import find_subsequence
 
