@@ -73,15 +73,23 @@ def bench_process(model, n_pairs=32, sentences_per_doc=24, iters=10):
     # Warmup twice (compiles the buckets; second run settles jit caches).
     model.process(questions, contexts, threshold=0.1, show_progress=False)
     model.process(questions, contexts, threshold=0.1, show_progress=False)
-    start = time.perf_counter()
+    # Median of per-call times: the axon tunnel's round-trip latency is
+    # bimodal (single loops measure up to 2x apart — CLAUDE.md traps).
+    times = []
     for _ in range(iters):
+        start = time.perf_counter()
         result = model.process(questions, contexts, threshold=0.1, show_progress=False)
-    elapsed = (time.perf_counter() - start) / iters
+        times.append(time.perf_counter() - start)
+    elapsed = float(np.median(times))
     trace = result["performance_trace"]
     return {
         "n_pairs": n_pairs,
         "sentences_per_doc": sentences_per_doc,
         "seconds_per_call": round(elapsed, 3),
+        "seconds_per_call_p10_p90": [
+            round(float(np.percentile(times, 10)), 3),
+            round(float(np.percentile(times, 90)), 3),
+        ],
         "pairs_per_sec": round(n_pairs / elapsed, 1),
         "inference_seconds": round(trace.inference_seconds, 3),
         "preprocess_seconds": round(trace.preprocess_seconds, 3),
@@ -188,13 +196,17 @@ def main() -> None:
     )
 
     platform = jax.devices()[0].platform
-    if args.only_process and args.out and args.out.exists():
+    # Sections merge into an existing --out artifact: re-running one bench
+    # (e.g. --only-process) keeps the others' entries.
+    if args.out and args.out.exists():
         results = json.loads(args.out.read_text())
+        results["platform"] = platform
     else:
-        results = {"platform": platform, "model": "modernbert-base-149M", "forward": []}
+        results = {"platform": platform, "model": "modernbert-base-149M"}
 
     shapes = [(32, 512), (8, 2048), (2, 8192)] if platform == "tpu" else [(4, 128)]
     if not args.only_process:
+        results["forward"] = []
         for batch, seq in shapes:
             entry = bench_forward(module, params, batch, seq)
             results["forward"].append(entry)
