@@ -41,8 +41,6 @@ from ..text.fragmentation import (
     fragmentize_jobs,
     fragments_from_payload,
     max_fragment_tokens_for,
-    normalize_sentences,
-    collect_candidate_sentences,
     tokenize_sentences,
 )
 from ..text.splitters import SentenceSplitter, resolve_sentence_splitter
@@ -636,10 +634,12 @@ class OpenProvenceModel:
         splitter: SentenceSplitter,
         strip_sentences: bool,
     ) -> dict[str, Any]:
-        """Preprocessing unit for one (query, context) cell: resolved title
-        prefixes plus split+normalized sentences. Token lists are attached
-        afterwards by one tokenizer call spanning every cell
-        (:meth:`_plan_preprocessing`)."""
+        """Preprocessing unit for one (query, context) cell: title prefixes
+        resolved, sentence splitting deferred. The split runs inside the
+        fragmentize stage (fragmentize_jobs' own collect+normalize path) so
+        it is chunked with the rest of per-cell work — lazy under the
+        pipelined dispatcher and parallel under preprocess_workers — instead
+        of serial up-front work that delays the first device dispatch."""
         manual: list[str] | None = None
         if isinstance(context_entry, list):
             manual = [str(s) for s in context_entry if str(s).strip()]
@@ -647,15 +647,6 @@ class OpenProvenceModel:
         else:
             text = context_entry
         prefixes, title_is_first = resolve_prefix_sentences(title_spec, context_idx)
-        raw_sentences = collect_candidate_sentences(
-            {
-                "context_text": text,
-                "prefix_sentences": prefixes,
-                "manual_sentences": manual,
-            },
-            splitter,
-        )
-        sentences = normalize_sentences(raw_sentences, text, strip_sentences)
         return {
             "query_idx": query_idx,
             "context_idx": context_idx,
@@ -663,7 +654,6 @@ class OpenProvenceModel:
             "prefix_sentences": prefixes,
             "title_is_first_sentence": title_is_first,
             "manual_sentences": manual,
-            "cached_sentences": sentences,
         }
 
     def _plan_preprocessing(
@@ -752,12 +742,25 @@ class OpenProvenceModel:
         work: dict[str, Any],
         query_ids: list[int],
         block_fragments: list[FragmentRecord],
+        start_cache: dict[int, int] | None = None,
     ) -> dict[str, Any]:
         """Host-side inputs for one block: token ids, mask, fragment token
-        ranges, and fragment global ids."""
+        ranges, and fragment global ids. ``start_cache`` memoizes the
+        context-start offset per query index — the block layout
+        ([specials] query [sep] context…) is invariant across a query's
+        blocks, so the subsequence search runs once per query, not per
+        block."""
+        hint = None if start_cache is None else start_cache.get(work["query_idx"])
         input_ids, attention_mask, _token_type_ids, ranges = (
-            self.tokenizer.prepare_block_inputs(query_ids, block_fragments)
+            self.tokenizer.prepare_block_inputs(
+                query_ids,
+                block_fragments,
+                want_token_type_ids=False,
+                context_start_hint=hint,
+            )
         )
+        if start_cache is not None and hint is None and ranges:
+            start_cache[work["query_idx"]] = int(ranges[0][0])
         return {
             "job": work,
             "input_ids": input_ids,
@@ -849,6 +852,11 @@ class OpenProvenceModel:
                 splitter=splitter,
                 strip_sentences=strip_sentences,
                 respect_sentence_boundaries=respect_sentence_boundaries,
+                # decode_fragments stays ON: the decoded text itself is
+                # unused here, but the empty-decode filter it feeds is load-
+                # bearing — fragments that decode to nothing (e.g. all-UNK)
+                # must be dropped for reference keep-decision parity.
+                decode_fragments=True,
             )
 
         # Thread-parallel fragmentation (the reference uses DataLoader worker
@@ -923,6 +931,7 @@ class OpenProvenceModel:
                 and len(slices) > 1
             ),
         )
+        context_start_cache: dict[int, int] = {}
         for job, entry in zip(prep_jobs, _entries()):
             for stage in ("sentence_collect", "sentence_normalize", "tokenize",
                           "fragment_split", "fragment_decode"):
@@ -934,7 +943,10 @@ class OpenProvenceModel:
                 cell_table[key] = info
                 prepared = [
                     self._prepare_block(
-                        work, encoded_queries[key[0]], info["blocks"][work["block_idx"]]
+                        work,
+                        encoded_queries[key[0]],
+                        info["blocks"][work["block_idx"]],
+                        start_cache=context_start_cache,
                     )
                     for work in works
                 ]

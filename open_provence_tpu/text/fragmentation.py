@@ -197,9 +197,16 @@ def fragmentize_jobs(
     splitter: SentenceSplitter,
     strip_sentences: bool,
     respect_sentence_boundaries: bool,
+    decode_fragments: bool = True,
 ) -> list[dict[str, Any]]:
     """Fragmentize a CHUNK of preprocessing jobs with cross-job batched
     tokenizer calls (same observable per-job output as standalone:897-943).
+
+    ``decode_fragments=False`` skips the fragment ``batch_decode`` and the
+    empty-decode filtering pass, leaving every ``fragment_texts`` entry
+    blank. The process() engine opts out: keep decisions and output text are
+    built from sentence strings + fragment indices, never fragment text, and
+    the decode is ~15 ms per 256-pair call on one host core.
 
     The Rust tokenizer's per-call overhead dominates small batches, so the
     sentence encode and fragment decode each happen ONCE for the whole chunk
@@ -278,6 +285,17 @@ def fragmentize_jobs(
 
     # Stage 4: ONE batched decode across every fragment in the chunk.
     tick = perf_counter()
+    if not decode_fragments:
+        payloads = [
+            _pieces_to_payload([("", piece) for piece in pieces])
+            for pieces in pieces_per_job
+        ]
+        timings["timing_fragment_decode"] += perf_counter() - tick
+        share = {key: value / len(jobs) for key, value in timings.items()}
+        return [
+            {"sentences": sentences, **share, **payload}
+            for sentences, payload in zip(sentences_per_job, payloads)
+        ]
     flat_ids = [ids for pieces in pieces_per_job for ids, *_ in pieces]
     flat_texts = (
         tokenizer.batch_decode(

@@ -184,9 +184,19 @@ class TokenizerAdapter:
         self,
         query_tokens: Sequence[int],
         fragments: Sequence[FragmentRecord],
-    ) -> tuple[list[int], list[int], list[int], list[tuple[int, int]]]:
+        *,
+        want_token_type_ids: bool = True,
+        context_start_hint: int | None = None,
+    ) -> tuple[list[int], list[int], list[int] | None, list[tuple[int, int]]]:
         """[CLS] query [SEP] frag… [SEP] + attention mask + token_type_ids +
-        per-fragment token ranges (standalone:2104-2196)."""
+        per-fragment token ranges (standalone:2104-2196).
+
+        ``want_token_type_ids=False`` skips the per-block HF token-type call
+        (the engine's device path never feeds token types).
+        ``context_start_hint`` skips the per-block subsequence search: the
+        context offset depends only on the query and the specials layout, so
+        callers batching many blocks of one query compute it once (from the
+        first block's ``ranges[0][0]``) and pass it back for the rest."""
         tokenizer = self.tokenizer
         # map(int, ·) over a genexpr of per-token casts: this runs once per
         # block over up to max_length ids, and fragment/query ids are already
@@ -217,6 +227,28 @@ class TokenizerAdapter:
 
         attention_mask = [1] * len(input_ids)
 
+        from ..native import find_subsequence
+
+        ranges: list[tuple[int, int]] = []
+        if context_tokens:
+            if context_start_hint is not None:
+                context_start = context_start_hint
+            else:
+                context_start = find_subsequence(input_ids, context_tokens)
+                if context_start < 0:
+                    prefix_ids = tokenizer.build_inputs_with_special_tokens(
+                        query_list, []
+                    )
+                    context_start = len(prefix_ids)
+            cursor = context_start
+            for fragment in fragments:
+                start = cursor
+                cursor += len(fragment.token_ids)
+                ranges.append((start, cursor))
+
+        if not want_token_type_ids:
+            return input_ids, attention_mask, None, ranges
+
         token_type_ids: list[int] | None
         try:
             token_type_ids = tokenizer.create_token_type_ids_from_sequences(
@@ -227,20 +259,6 @@ class TokenizerAdapter:
         else:
             if token_type_ids is not None:
                 token_type_ids = list(map(int, token_type_ids))
-
-        from ..native import find_subsequence
-
-        ranges: list[tuple[int, int]] = []
-        if context_tokens:
-            context_start = find_subsequence(input_ids, context_tokens)
-            if context_start < 0:
-                prefix_ids = tokenizer.build_inputs_with_special_tokens(query_list, [])
-                context_start = len(prefix_ids)
-            cursor = context_start
-            for fragment in fragments:
-                start = cursor
-                cursor += len(fragment.token_ids)
-                ranges.append((start, cursor))
 
         if token_type_ids is not None and len(token_type_ids) < len(input_ids):
             pad_value = token_type_ids[-1] if token_type_ids else 0

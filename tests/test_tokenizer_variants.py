@@ -27,6 +27,62 @@ def test_double_sep_block_inputs_and_process():
     assert result["pruned_context"] == "abc def. ghi."
 
 
+def test_prepare_block_inputs_fast_flags():
+    """The engine's per-block fast path (skip token_type_ids, reuse the
+    context-start offset) must produce identical ids/mask/ranges to the
+    default search path."""
+    from open_provence_tpu.text import FragmentRecord, TokenizerAdapter
+
+    adapter = TokenizerAdapter(DoubleSepTokenizer())
+    query = adapter.encode("qq", add_special_tokens=False)
+    frags = [
+        FragmentRecord("ab", 0, 0, 0, 2, adapter.encode("ab", add_special_tokens=False)),
+        FragmentRecord("cd", 1, 0, 1, 2, adapter.encode("cd", add_special_tokens=False)),
+    ]
+    ids_ref, mask_ref, type_ref, ranges_ref = adapter.prepare_block_inputs(query, frags)
+    hint = ranges_ref[0][0]
+    ids, mask, type_ids, ranges = adapter.prepare_block_inputs(
+        query, frags, want_token_type_ids=False, context_start_hint=hint
+    )
+    assert ids == ids_ref
+    assert mask == mask_ref
+    assert ranges == ranges_ref
+    assert type_ids is None
+    assert type_ref is not None
+
+
+def test_fragmentize_decode_opt_out():
+    """decode_fragments=False skips fragment text (blank) but produces the
+    same token ids, indices, and sentence lists as the decoding path."""
+    from tests.dummy_tokenizers import DummyTokenizer
+    from open_provence_tpu.text.fragmentation import fragmentize_jobs
+
+    tok = DummyTokenizer()
+    splitter = lambda t: [s + " " for s in t.split() if s] or [t]  # noqa: E731
+    jobs = [
+        {"context_text": "abcdef. ghij.", "prefix_sentences": []},
+        {"context_text": "klm nop qrstuv wx", "prefix_sentences": []},
+    ]
+    kwargs = dict(
+        max_fragment_tokens=4,
+        splitter=splitter,
+        strip_sentences=False,
+        respect_sentence_boundaries=False,
+    )
+    decoded = fragmentize_jobs(tok, jobs, **kwargs)
+    blank = fragmentize_jobs(tok, jobs, decode_fragments=False, **kwargs)
+    for d, b in zip(decoded, blank):
+        assert b["fragment_texts"] == [""] * len(d["fragment_texts"])
+        for key in (
+            "sentences",
+            "fragment_token_ids",
+            "fragment_sentence_index",
+            "fragment_fragment_index",
+            "fragment_global_index",
+        ):
+            assert b[key] == d[key], key
+
+
 def test_whitespace_tokenizer_fallback_paths():
     """strip_sentences=True + blank decodes → the engine must fall back to
     the first decoded fragment instead of producing zero fragments
