@@ -71,6 +71,11 @@ def _load() -> ctypes.CDLL | None:
     lib.op_pad_block_batch_i32.argtypes = [
         i32p, i32p, ctypes.c_int32, ctypes.c_int32, i32p, i32p,
     ]
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.op_en_split_spans.restype = ctypes.c_int64
+    lib.op_en_split_spans.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, i64p, ctypes.c_int64,
+    ]
     _lib = lib
     return lib
 
@@ -179,3 +184,34 @@ def pad_block_batch_i32(
             input_ids[r, :n] = row[:n]
             attention[r, :n] = 1
     return input_ids, attention
+
+
+_EN_SPAN_BUF: ctypes.Array | None = None
+_EN_SPAN_CAP = 0
+
+
+def en_split_spans(text: str, max_chars: int) -> list[tuple[int, int]] | None:
+    """Native ASCII English sentence splitting: (start, end) spans of
+    ``text`` whose slices equal ``_EnglishSplitter``'s output in regex mode
+    (text/splitters.py). Returns None when the native library is
+    unavailable or ``text`` is not pure ASCII (the Python path handles
+    those). Parity is fuzz-tested in tests/test_native_ops.py.
+
+    The output buffer is module-cached (grown on demand) — per-call numpy
+    allocation and scalar unboxing were most of the wrapper's cost."""
+    lib = _load()
+    if lib is None or not text.isascii():
+        return None
+    global _EN_SPAN_BUF, _EN_SPAN_CAP
+    raw = text.encode("ascii")
+    n = len(raw)
+    if _EN_SPAN_CAP < 64:
+        _EN_SPAN_CAP = 4096
+        _EN_SPAN_BUF = (ctypes.c_int64 * (2 * _EN_SPAN_CAP))()
+    while True:
+        count = lib.op_en_split_spans(raw, n, max_chars, _EN_SPAN_BUF, _EN_SPAN_CAP)
+        if count <= _EN_SPAN_CAP:
+            buf = _EN_SPAN_BUF
+            return [(buf[2 * k], buf[2 * k + 1]) for k in range(count)]
+        _EN_SPAN_CAP = count
+        _EN_SPAN_BUF = (ctypes.c_int64 * (2 * _EN_SPAN_CAP))()

@@ -251,10 +251,11 @@ class _EnglishSplitter:
     source text up to leading whitespace before the first sentence.
     """
 
-    def __init__(self, max_chars: int):
+    def __init__(self, max_chars: int, use_native: bool = True):
         if max_chars <= 0:
             raise ValueError("max_chars must be positive")
         self.max_chars = max_chars
+        self.use_native = use_native
 
     def _spans(self, block_text: str) -> list[tuple[int, int]]:
         punkt = load_punkt()
@@ -270,6 +271,15 @@ class _EnglishSplitter:
     def __call__(self, text: str) -> list[str]:
         if not text:
             return []
+        if self.use_native and load_punkt() is None:
+            # Native fast path: the whole block/span/clip pipeline in one
+            # C++ pass over ASCII text (same spans as the Python route
+            # below; parity fuzz-tested in tests/test_native_ops.py).
+            from ..native import en_split_spans
+
+            spans = en_split_spans(text, self.max_chars)
+            if spans is not None:
+                return [text[lo:hi] for lo, hi in spans]
         sentences: list[str] = []
         for block_text, block_lo, block_hi in _iter_english_blocks(text):
             spans = self._spans(block_text)

@@ -116,3 +116,48 @@ def test_pad_block_batch_parity():
     assert ids[2].tolist() == [4] * 5  # truncated to seq_len
     assert attn[2].tolist() == [1] * 5
     assert ids[3].tolist() == [9] * 5 and attn[3].sum() == 0
+
+
+def test_en_split_spans_fuzz_parity():
+    """Native English splitter == pure-Python splitter on randomized ASCII
+    soup covering abbreviations, bullets, quotes, numerics, line
+    terminators, and overlong clipping."""
+    import random
+
+    import pytest
+
+    from open_provence_tpu.text.splitters import _EnglishSplitter
+
+    if not native.is_available():
+        pytest.skip("native host ops unavailable")
+
+    rng = random.Random(7)
+    words = ["hello", "world", "dr", "mr", "e.g", "fig", "approx", "the",
+             "a", "B", "No", "vol", "3.14", "12", "U.S", "item", "x",
+             "inc.", "Mr."]
+    punct = [". ", "! ", "? ", "... ", ".\n", "!? ", ".) ", '."', ".' ",
+             ". )", " .", ".5 ", ".x ", ".\r\n", '.")', "?!\"')] "]
+    bullets = ["- ", "* ", "1) ", "23. ", "a) ", "B. ", "1234: ",
+               "12345. ", "-- ", "-x ", "\t- ", " * y "]
+    ws = [" ", "  ", "\n", "\n\n", "\t", "\r\n", "\v", "\x1c", "", "\x1f", "\f"]
+    pools = (words, punct, ws, bullets)
+    pairs = [
+        (_EnglishSplitter(m, use_native=False), _EnglishSplitter(m, use_native=True))
+        for m in (1200, 50)
+    ]
+    for _ in range(2500):
+        parts = [rng.choice(rng.choice(pools)) for _ in range(rng.randrange(0, 30))]
+        text = "".join(parts)
+        for py, nat in pairs:
+            assert py(text) == nat(text), repr(text)
+
+
+def test_en_split_spans_non_ascii_falls_back():
+    from open_provence_tpu.text.splitters import _EnglishSplitter
+
+    assert native.en_split_spans("café. done.", 1200) is None
+    # The splitter itself still handles non-ASCII via the Python route.
+    sp = _EnglishSplitter(1200, use_native=True)
+    assert sp("café one. two.") == _EnglishSplitter(1200, use_native=False)(
+        "café one. two."
+    )
