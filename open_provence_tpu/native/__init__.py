@@ -117,10 +117,37 @@ def find_subsequence(haystack, needle) -> int:
     return -1
 
 
-def greedy_pack(lens, base_len: int, available_len: int) -> tuple[np.ndarray, np.ndarray, int]:
+def greedy_pack(lens, base_len: int, available_len: int):
     """Greedy packing plan: (block_ids, new_lens, n_blocks)
-    (reference standalone:2222-2259 semantics)."""
-    lens_arr = _as_i32(list(lens))
+    (reference standalone:2222-2259 semantics).
+
+    Small inputs (the typical per-cell case: a few dozen fragments) take a
+    plain-list Python path — numpy/ctypes marshalling costs more than the
+    O(n) loop it would replace."""
+    lens_list = list(lens)
+    if len(lens_list) <= 64:
+        capacity = max(1, int(available_len) - int(base_len))
+        block_ids: list[int] = []
+        new_lens: list[int] = []
+        block, current_len, block_open = 0, int(base_len), False
+        for length in lens_list:
+            if current_len + length <= available_len:
+                block_ids.append(block)
+                new_lens.append(length)
+                current_len += length
+                block_open = True
+                continue
+            if block_open:
+                block += 1
+                block_open = False
+                current_len = int(base_len)
+            truncated = min(length, capacity)
+            block_ids.append(block)
+            new_lens.append(truncated)
+            current_len = int(base_len) + truncated
+            block_open = True
+        return block_ids, new_lens, (block + 1 if lens_list else 0)
+    lens_arr = _as_i32(lens_list)
     n = int(lens_arr.size)
     if n == 0:
         return np.zeros(0, np.int32), np.zeros(0, np.int32), 0

@@ -25,7 +25,7 @@ from .splitters import DEFAULT_ENGLISH_SENTENCE_MAX_CHARS, SentenceSplitter
 Piece = tuple[list[int], int, int, int]
 
 
-@dataclass
+@dataclass(slots=True)
 class FragmentRecord:
     """Decoded fragment metadata (counterpart of standalone:990-999)."""
 
@@ -356,9 +356,26 @@ def fragmentize_job(
 
 
 def fragments_from_payload(payload: Mapping[str, Any]) -> list[FragmentRecord]:
-    """Columnar fragment payload → FragmentRecord list."""
-    columns = [list(payload.get(field, [])) for field in _PAYLOAD_FIELDS]
-    texts, id_lists, sent_idxs, frag_idxs, global_idxs = columns
+    """Columnar fragment payload → FragmentRecord list.
+
+    Fast path for well-formed payloads (what ``fragmentize_jobs`` emits:
+    aligned columns, int indices) — one zip, no per-element casts or copies;
+    records share ``token_ids`` lists with the payload, which nothing
+    mutates (truncation builds new records). Ragged hand-built payloads take
+    the defensive route."""
+    texts = payload.get("fragment_texts") or []
+    id_lists = payload.get("fragment_token_ids") or []
+    sent_idxs = payload.get("fragment_sentence_index") or []
+    frag_idxs = payload.get("fragment_fragment_index") or []
+    global_idxs = payload.get("fragment_global_index") or []
+    n = len(texts)
+    if n == len(id_lists) == len(sent_idxs) == len(frag_idxs) == len(global_idxs):
+        return [
+            FragmentRecord(text, sent, frag, gid, len(ids), ids)
+            for text, ids, sent, frag, gid in zip(
+                texts, id_lists, sent_idxs, frag_idxs, global_idxs
+            )
+        ]
     records: list[FragmentRecord] = []
     for pos, text in enumerate(texts):
         ids = list(id_lists[pos]) if pos < len(id_lists) else []

@@ -68,8 +68,9 @@ def test_find_subsequence_edges():
 
 def test_greedy_pack_parity_randomized():
     rng = np.random.default_rng(1)
-    for _ in range(200):
-        n = int(rng.integers(0, 20))
+    for trial in range(200):
+        # Cover both the small-n plain-list path (<=64) and the native one.
+        n = int(rng.integers(0, 20 if trial % 2 else 200))
         lens = rng.integers(1, 30, size=n).tolist()
         base = int(rng.integers(0, 10))
         available = int(rng.integers(base + 1, base + 40))
@@ -78,8 +79,8 @@ def test_greedy_pack_parity_randomized():
         if n == 0:
             assert got_blocks == 0
             continue
-        assert got_ids.tolist() == exp_ids
-        assert got_lens.tolist() == exp_lens
+        assert np.asarray(got_ids).tolist() == exp_ids
+        assert np.asarray(got_lens).tolist() == exp_lens
         assert got_blocks == exp_blocks
 
 
