@@ -19,7 +19,33 @@ import numpy as np
 BASELINE_PAIRS_PER_SEC = 810.0
 
 
+def _wait_for_device(attempts: int = 5, probe_timeout_s: int = 180) -> None:
+    """Device discovery over the axon tunnel can HANG in native code (not
+    error) while the tunnel is down — a SIGALRM watchdog never fires because
+    the GIL is held. Probe in a SUBPROCESS under a timeout and retry with
+    backoff so a transiently-down tunnel doesn't wedge the whole bench run;
+    exhausted retries raise (no JSON is printed — a crash is honest, a
+    made-up number is not)."""
+    import subprocess
+    import sys
+
+    for attempt in range(attempts):
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_timeout_s,
+                check=True,
+                capture_output=True,
+            )
+            return
+        except Exception:
+            if attempt == attempts - 1:
+                raise
+            time.sleep(min(60, 10 * (attempt + 1)))
+
+
 def main() -> None:
+    _wait_for_device()
     import jax
 
     from __graft_entry__ import _flagship_config
