@@ -125,7 +125,8 @@ class TokenizerAdapter:
         ):
             try:
                 encodings = backend.encode_batch(texts, add_special_tokens=False)
-                return [list(e.ids) for e in encodings]
+                # .ids already materializes a fresh Python list per encoding.
+                return [e.ids for e in encodings]
             except Exception:
                 pass
         encoded = self.tokenizer(
@@ -156,10 +157,16 @@ class TokenizerAdapter:
             and kwargs.get("clean_up_tokenization_spaces") is False
             and set(kwargs) <= {"skip_special_tokens", "clean_up_tokenization_spaces"}
         ):
-            return backend.decode_batch(
-                [[int(t) for t in seq] for seq in sequences],
-                skip_special_tokens=bool(kwargs.get("skip_special_tokens", False)),
-            )
+            skip = bool(kwargs.get("skip_special_tokens", False))
+            try:
+                # Sequences from the encode path are already list[int]; the
+                # per-token int() sweep only exists for numpy-int callers.
+                return backend.decode_batch(list(sequences), skip_special_tokens=skip)
+            except Exception:
+                return backend.decode_batch(
+                    [[int(t) for t in seq] for seq in sequences],
+                    skip_special_tokens=skip,
+                )
         if sequences is None:
             return self.tokenizer.batch_decode(*args, **kwargs)
         return self.tokenizer.batch_decode(sequences, *args, **kwargs)
