@@ -746,11 +746,12 @@ class OpenProvenceModel:
     ) -> dict[str, Any]:
         """Host-side inputs for one block: token ids, mask, fragment token
         ranges, and fragment global ids. ``start_cache`` memoizes the
-        context-start offset per query index — the block layout
-        ([specials] query [sep] context…) is invariant across a query's
-        blocks, so the subsequence search runs once per query, not per
+        context-start offset per query token LENGTH — the block layout
+        ([specials] query [sep] context…) puts the context at an offset
+        determined by the specials template and the query length alone, so
+        the subsequence search runs once per distinct length, not per
         block."""
-        hint = None if start_cache is None else start_cache.get(work["query_idx"])
+        hint = None if start_cache is None else start_cache.get(len(query_ids))
         input_ids, attention_mask, _token_type_ids, ranges = (
             self.tokenizer.prepare_block_inputs(
                 query_ids,
@@ -760,7 +761,7 @@ class OpenProvenceModel:
             )
         )
         if start_cache is not None and hint is None and ranges:
-            start_cache[work["query_idx"]] = int(ranges[0][0])
+            start_cache[len(query_ids)] = int(ranges[0][0])
         return {
             "job": work,
             "input_ids": input_ids,
