@@ -154,9 +154,13 @@ class _BlockDispatcher:
         if not self.pipeline:
             return
         # Half-size first flush: on single-batch workloads the device would
-        # otherwise sit idle until the last cell is fragmentized.
+        # otherwise sit idle until the last cell is fragmentized. Never
+        # above batch_size — a chunk larger than the padded batch would be
+        # silently truncated by pad_block_batch.
         threshold = (
-            max(8, self.batch_size // 2) if self._dispatched == 0 else self.batch_size
+            min(self.batch_size, max(8, self.batch_size // 2))
+            if self._dispatched == 0
+            else self.batch_size
         )
         if len(buf) >= threshold:
             self._dispatch(blen, buf[:])
@@ -668,10 +672,12 @@ class OpenProvenceModel:
         """Flatten the (query, context) grid into preprocessing jobs and
         encode each query once (behavior of standalone:2436-2519).
 
-        Only title-prefix sentences are tokenized here (one small batched
-        call across every cell); the bulk sentence tokenization happens
-        inside each cell's fragmentize stage so the pipelined dispatcher can
-        start device work before later cells are even tokenized."""
+        Nothing but the queries is tokenized here: title-prefix token counts
+        are produced by each cell's fragmentize stage from the NORMALIZED
+        sentence token lists (fragmentize_jobs), matching the reference's
+        cached_token_lists accounting (standalone:2486-2489), and the bulk
+        sentence tokenization happens there too so the pipelined dispatcher
+        can start device work before later cells are even tokenized."""
         # One batched encode for every query (a per-query encode() pays the
         # Rust-call overhead len(queries) times).
         encoded_queries = [
@@ -684,17 +690,6 @@ class OpenProvenceModel:
             for q_idx, group in enumerate(contexts)
             for c_idx, entry in enumerate(group)
         ]
-        prefix_flat: list[str] = []
-        for job in jobs:
-            prefix_flat.extend(job["prefix_sentences"])
-        prefix_token_lists = tokenize_sentences(self.tokenizer, prefix_flat)
-        cursor = 0
-        for job in jobs:
-            n = len(job["prefix_sentences"])
-            job["prefix_token_counts"] = [
-                len(ids) for ids in prefix_token_lists[cursor : cursor + n]
-            ]
-            cursor += n
         return jobs, encoded_queries
 
     def _cell_blocks(
@@ -722,7 +717,7 @@ class OpenProvenceModel:
             "blocks": blocks,
             "prefix_length": len(job.get("prefix_sentences", [])),
             "prefix_sentences": job.get("prefix_sentences", []),
-            "prefix_token_counts": job.get("prefix_token_counts", []),
+            "prefix_token_counts": entry.get("prefix_token_counts", []),
             "title_is_first_sentence": job.get("title_is_first_sentence", False),
             "original_text": job["context_text"],
             "raw_blocks": [],
@@ -902,9 +897,9 @@ class OpenProvenceModel:
 
         # Device pooling is exact only when the title-prefix offset
         # correction never applies (standalone:3075-3081) — i.e. no cell
-        # in this call carries prefix token counts.
+        # in this call carries title-prefix sentences.
         use_device_pooling = self.device_pooling and all(
-            not job["prefix_token_counts"] for job in prep_jobs
+            not job["prefix_sentences"] for job in prep_jobs
         )
         progress = None
         if show_inference_progress:

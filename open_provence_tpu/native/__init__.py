@@ -13,6 +13,7 @@ import ctypes
 import logging
 import os
 import subprocess
+import threading
 from pathlib import Path
 
 import numpy as np
@@ -213,8 +214,7 @@ def pad_block_batch_i32(
     return input_ids, attention
 
 
-_EN_SPAN_BUF: ctypes.Array | None = None
-_EN_SPAN_CAP = 0
+_EN_SPAN_TLS = threading.local()
 
 
 def en_split_spans(text: str, max_chars: int) -> list[tuple[int, int]] | None:
@@ -224,21 +224,23 @@ def en_split_spans(text: str, max_chars: int) -> list[tuple[int, int]] | None:
     unavailable or ``text`` is not pure ASCII (the Python path handles
     those). Parity is fuzz-tested in tests/test_native_ops.py.
 
-    The output buffer is module-cached (grown on demand) — per-call numpy
-    allocation and scalar unboxing were most of the wrapper's cost."""
+    The output buffer is cached per thread (grown on demand) — per-call
+    numpy allocation and scalar unboxing were most of the wrapper's cost,
+    and the C call releases the GIL, so the engine's preprocess worker
+    threads must not share one buffer."""
     lib = _load()
     if lib is None or not text.isascii():
         return None
-    global _EN_SPAN_BUF, _EN_SPAN_CAP
     raw = text.encode("ascii")
     n = len(raw)
-    if _EN_SPAN_CAP < 64:
-        _EN_SPAN_CAP = 4096
-        _EN_SPAN_BUF = (ctypes.c_int64 * (2 * _EN_SPAN_CAP))()
+    cap = getattr(_EN_SPAN_TLS, "cap", 0)
+    if cap < 64:
+        cap = _EN_SPAN_TLS.cap = 4096
+        _EN_SPAN_TLS.buf = (ctypes.c_int64 * (2 * cap))()
     while True:
-        count = lib.op_en_split_spans(raw, n, max_chars, _EN_SPAN_BUF, _EN_SPAN_CAP)
-        if count <= _EN_SPAN_CAP:
-            buf = _EN_SPAN_BUF
+        buf = _EN_SPAN_TLS.buf
+        count = lib.op_en_split_spans(raw, n, max_chars, buf, cap)
+        if count <= cap:
             return [(buf[2 * k], buf[2 * k + 1]) for k in range(count)]
-        _EN_SPAN_CAP = count
-        _EN_SPAN_BUF = (ctypes.c_int64 * (2 * _EN_SPAN_CAP))()
+        cap = _EN_SPAN_TLS.cap = count
+        _EN_SPAN_TLS.buf = (ctypes.c_int64 * (2 * cap))()

@@ -204,9 +204,11 @@ def fragmentize_jobs(
 
     ``decode_fragments=False`` skips the fragment ``batch_decode`` and the
     empty-decode filtering pass, leaving every ``fragment_texts`` entry
-    blank. The process() engine opts out: keep decisions and output text are
-    built from sentence strings + fragment indices, never fragment text, and
-    the decode is ~15 ms per 256-pair call on one host core.
+    blank. The process() engine keeps the default (True): the empty-decode
+    filter is load-bearing for keep-decision parity (all-UNK fragments must
+    be dropped exactly as the reference drops them), even though the engine
+    never reads ``fragment_texts`` itself. Opting out is only safe for
+    callers that reproduce that filtering some other way.
 
     The Rust tokenizer's per-call overhead dominates small batches, so the
     sentence encode and fragment decode each happen ONCE for the whole chunk
@@ -265,6 +267,17 @@ def fragmentize_jobs(
             token_lists_per_job.append([[int(t) for t in ids] for ids in cached_tokens])
     timings["timing_tokenize"] += perf_counter() - tick
 
+    # Title-prefix token counts come from the NORMALIZED sentences' token
+    # lists (reference standalone:2486-2489 counts cached_token_lists
+    # entries) — tokenizing the raw prefix strings instead diverges when
+    # normalization changes the text (e.g. the trailing "\n" on the last
+    # prefix is stripped under strip_sentences, costing a token on BPE
+    # tokenizers) and would shift every fragment window in postprocess.
+    prefix_counts_per_job: list[list[int]] = []
+    for job, token_lists in zip(jobs, token_lists_per_job):
+        n_prefix = len(job.get("prefix_sentences") or [])
+        prefix_counts_per_job.append([len(ids) for ids in token_lists[:n_prefix]])
+
     # Stage 3: fragment split (pure Python, cheap) + empty-context fallback.
     tick = perf_counter()
     pieces_per_job: list[list[Piece]] = [
@@ -293,8 +306,15 @@ def fragmentize_jobs(
         timings["timing_fragment_decode"] += perf_counter() - tick
         share = {key: value / len(jobs) for key, value in timings.items()}
         return [
-            {"sentences": sentences, **share, **payload}
-            for sentences, payload in zip(sentences_per_job, payloads)
+            {
+                "sentences": sentences,
+                "prefix_token_counts": counts,
+                **share,
+                **payload,
+            }
+            for sentences, counts, payload in zip(
+                sentences_per_job, prefix_counts_per_job, payloads
+            )
         ]
     flat_ids = [ids for pieces in pieces_per_job for ids, *_ in pieces]
     flat_texts = (
@@ -329,8 +349,15 @@ def fragmentize_jobs(
 
     share = {key: value / len(jobs) for key, value in timings.items()}
     return [
-        {"sentences": sentences, **share, **payload}
-        for sentences, payload in zip(sentences_per_job, payloads)
+        {
+            "sentences": sentences,
+            "prefix_token_counts": counts,
+            **share,
+            **payload,
+        }
+        for sentences, counts, payload in zip(
+            sentences_per_job, prefix_counts_per_job, payloads
+        )
     ]
 
 

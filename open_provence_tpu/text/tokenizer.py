@@ -238,8 +238,18 @@ class TokenizerAdapter:
 
         ranges: list[tuple[int, int]] = []
         if context_tokens:
-            if context_start_hint is not None:
-                context_start = context_start_hint
+            # A hint is only a candidate: it must be verified against THIS
+            # block's ids (a degenerate search result memoized from another
+            # block — e.g. a context whose token run also appears inside the
+            # query — must not propagate to unrelated blocks).
+            hint = context_start_hint
+            if hint is not None and (
+                hint < 0
+                or input_ids[hint : hint + len(context_tokens)] != context_tokens
+            ):
+                hint = None
+            if hint is not None:
+                context_start = hint
             else:
                 context_start = find_subsequence(input_ids, context_tokens)
                 if context_start < 0:

@@ -211,10 +211,12 @@ def train(
     eval_batches = None
     if eval_dataset is not None and training_args.do_eval:
         def eval_batches():  # noqa: F811
+            # Same per-device convention as the train path: the global eval
+            # batch is per_device x data_axis (trainer.py:1509-1515).
             return batch_iterator(
                 eval_dataset,
                 collator,
-                training_args.per_device_eval_batch_size,
+                training_args.per_device_eval_batch_size * data_axis,
                 shuffle=False,
                 drop_last=False,
             )

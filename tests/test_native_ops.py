@@ -162,3 +162,30 @@ def test_en_split_spans_non_ascii_falls_back():
     assert sp("café one. two.") == _EnglishSplitter(1200, use_native=False)(
         "café one. two."
     )
+
+
+def test_en_split_spans_thread_safety():
+    """en_split_spans runs concurrently in the engine's preprocess worker
+    threads; the C call releases the GIL, so each thread must see its own
+    output buffer (a shared buffer corrupts spans silently)."""
+    import pytest
+    from concurrent.futures import ThreadPoolExecutor
+
+    if not native.is_available():
+        pytest.skip("native host ops unavailable")
+
+    texts = [
+        " ".join(f"sentence {i} chunk {j} runs here." for j in range(40))
+        for i in range(16)
+    ]
+    expected = [native.en_split_spans(t, 1200) for t in texts]
+
+    def many(idx):
+        t = texts[idx]
+        for _ in range(50):
+            if native.en_split_spans(t, 1200) != expected[idx]:
+                return False
+        return True
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        assert all(pool.map(many, list(range(16)) * 4))

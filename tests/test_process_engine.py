@@ -266,3 +266,29 @@ def test_pre_split_sentences_skip_splitter(model):
         "pruned_context"
     ] == ["".join(sentences)]
     assert result["kept_sentences"][0] == sentences
+
+
+def test_small_batch_size_pipelined_dispatch(model):
+    """batch_size below the dispatcher's first-flush floor (8) must not
+    dispatch chunks larger than the padded batch (pad_block_batch silently
+    truncates extra rows). Many cells + a tiny preprocess chunk force the
+    pipelined early-flush path."""
+    contexts = [
+        f"Sentence {i} about sushi and topic {i}. Second thought on {i}."
+        for i in range(12)
+    ]
+    expected = model.process(
+        "q", contexts, threshold=0.0, show_progress=False, batch_size=32
+    )
+    small = model.process(
+        "q",
+        contexts,
+        threshold=0.0,
+        show_progress=False,
+        batch_size=3,
+        preprocess_batch_size=2,  # >1 prep slice → pipelining active
+    )
+    assert small["pruned_context"] == expected["pruned_context"]
+    np.testing.assert_allclose(
+        small["reranking_score"], expected["reranking_score"], atol=1e-5
+    )

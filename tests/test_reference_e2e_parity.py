@@ -209,8 +209,21 @@ def test_process_parity_batched_nested_with_titles(both_models):
         {"respect_sentence_boundaries": True},
         {"use_best_reranker_score": False},
         {"zero_score_when_empty": False},
+        # Title prefixes exercise the prefix-token-count offset correction;
+        # combined with strip_sentences the counts must come from the
+        # NORMALIZED prefix text (the trailing "\n" on the last prefix is
+        # stripped, which can change BPE token counts).
+        {"title": "sushi market report"},
+        {"title": "sushi market report", "strip_sentences": True},
     ],
-    ids=["strip", "respect_boundaries", "first_block_score", "keep_empty_score"],
+    ids=[
+        "strip",
+        "respect_boundaries",
+        "first_block_score",
+        "keep_empty_score",
+        "title_prefix",
+        "title_prefix_strip",
+    ],
 )
 def test_process_parity_flag_variants(both_models, kwargs):
     ref_model, my_model = both_models

@@ -156,6 +156,53 @@ def test_fragmentize_job_roundtrip():
     assert all(len(ids) <= 4 for ids in entry["fragment_token_ids"])
 
 
+def test_fragmentize_prefix_token_counts_use_normalized_text():
+    """Prefix token counts must be measured on the NORMALIZED prefix
+    sentences (reference standalone:2486-2489 counts cached_token_lists
+    entries), not the raw prefix strings — under strip_sentences the final
+    prefix loses its newline terminator, which changes its token count on a
+    char/BPE tokenizer."""
+    tok = DummyTokenizer()
+    job = {
+        "context_text": "abcd. efgh.",
+        "prefix_sentences": ["Doc Title\n"],  # resolve_prefix_sentences form
+    }
+    entry = fragmentize_job(
+        tok,
+        job,
+        max_fragment_tokens=8,
+        splitter=lambda t: ["abcd. ", "efgh."],
+        strip_sentences=True,
+        respect_sentence_boundaries=False,
+    )
+    # Char tokenizer: "Doc Title" (stripped) = 9 tokens; raw "Doc Title\n"
+    # would be 10.
+    assert entry["prefix_token_counts"] == [9]
+    assert entry["sentences"][0] == "Doc Title"
+
+    # Unstripped mode keeps the newline: count measured on "Doc Title\n".
+    entry_keep = fragmentize_job(
+        tok,
+        job,
+        max_fragment_tokens=8,
+        splitter=lambda t: ["abcd. ", "efgh."],
+        strip_sentences=False,
+        respect_sentence_boundaries=False,
+    )
+    assert entry_keep["prefix_token_counts"] == [10]
+
+    # No prefixes → empty counts.
+    plain = fragmentize_job(
+        tok,
+        {"context_text": "abcd.", "prefix_sentences": []},
+        max_fragment_tokens=8,
+        splitter=lambda t: ["abcd."],
+        strip_sentences=False,
+        respect_sentence_boundaries=False,
+    )
+    assert plain["prefix_token_counts"] == []
+
+
 def test_encode_batch_ids_matches_hf_call(tmp_path):
     """The Rust-direct encode fast path must produce the ids the HF wrapper
     returns, and fall back cleanly when truncation state is active or the
@@ -303,6 +350,28 @@ def test_prepare_block_inputs_manual_specials():
     assert input_ids[0] == 1 and input_ids[3] == 2 and input_ids[-1] == 2
     (start, end), = ranges
     assert input_ids[start:end] == frag.token_ids
+
+
+def test_prepare_block_inputs_rejects_stale_context_start_hint():
+    """A memoized context-start offset is only a CANDIDATE: it must be
+    re-verified against each block's ids so a degenerate first-match from one
+    block (context run also present inside the query) cannot shift the
+    fragment ranges of unrelated blocks."""
+    adapter = TokenizerAdapter(DummyTokenizer())
+    from open_provence_tpu.text import FragmentRecord
+
+    query = adapter.encode("qq", add_special_tokens=False)
+    frag = FragmentRecord("ab", 0, 0, 0, 2, adapter.encode("ab", add_special_tokens=False))
+    # Correct layout: [CLS] q q [SEP] a b [SEP] → context starts at 4.
+    _, _, _, good = adapter.prepare_block_inputs(query, [frag], context_start_hint=4)
+    assert good[0] == (4, 6)
+    # A hint pointing at the query region (wrong block's memo) does not
+    # match this block's context tokens → full search recovers offset 4.
+    for stale in (1, 2, 0, -3, 100):
+        _, _, _, ranges = adapter.prepare_block_inputs(
+            query, [frag], context_start_hint=stale
+        )
+        assert ranges == [(4, 6)], stale
 
 
 # --- golden tests vs the reference's pure functions -------------------------
