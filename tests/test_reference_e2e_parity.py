@@ -287,3 +287,112 @@ def test_process_parity_raw_predictions(both_models):
     np.testing.assert_allclose(
         my_raw.ranking_score, ref_raw.ranking_score, atol=2e-3
     )
+
+
+def _assert_nested_close(mine, theirs, atol, path=""):
+    """Recursively compare (possibly nested) lists of floats/strings."""
+    if isinstance(theirs, (list, tuple)):
+        assert isinstance(mine, (list, tuple)) and len(mine) == len(theirs), (
+            path, mine, theirs)
+        for i, (a, b) in enumerate(zip(mine, theirs)):
+            _assert_nested_close(a, b, atol, f"{path}[{i}]")
+    elif isinstance(theirs, float):
+        np.testing.assert_allclose(mine, theirs, atol=atol, err_msg=path)
+    else:
+        assert mine == theirs, (path, mine, theirs)
+
+
+def test_process_parity_fuzz(both_models):
+    """Seeded random workloads over the full kwargs surface: shapes
+    (str/list/aligned/nested), titles (none/explicit/list/first_sentence),
+    strip/respect/always_select/reorder/top_k/threshold combinations. Any
+    divergence in splitting, fragmentation, packing, specials handling,
+    prefix-offset accounting, or postprocess aggregation trips this."""
+    import random
+
+    ref_model, my_model = both_models
+    rng = random.Random(20260817)
+    words = ["sushi", "ramen", "kyoto", "market", "budget", "deadline",
+             "travel", "plants", "spring", "festival", "morning", "tokyo"]
+    enders = [". ", "! ", "? ", ".\n", ". "]
+
+    def sentence():
+        return " ".join(rng.choice(words) for _ in range(rng.randrange(2, 9))) + rng.choice(enders)
+
+    def context():
+        return "".join(sentence() for _ in range(rng.randrange(1, 7))).rstrip("\n")
+
+    for trial in range(12):
+        n_q = rng.randrange(1, 3)
+        questions = [
+            " ".join(rng.choice(words) for _ in range(rng.randrange(2, 5))) + " ?"
+            for _ in range(n_q)
+        ]
+        n_docs = [rng.randrange(1, 4) for _ in range(n_q)]
+        contexts = [[context() for _ in range(n)] for n in n_docs]
+        title_mode = rng.choice(["none", "first_sentence", "explicit", "lists"])
+        if title_mode == "none":
+            title = None
+        elif title_mode == "first_sentence":
+            title = "first_sentence"
+        elif title_mode == "explicit":
+            title = [
+                [" ".join(rng.choice(words) for _ in range(2))] * n for n in n_docs
+            ]
+        else:
+            title = [
+                [[" ".join(rng.choice(words) for _ in range(2))] for _ in range(n)]
+                for n in n_docs
+            ]
+        kwargs = dict(
+            title=title,
+            threshold=rng.choice([0.2, 0.5, 0.8]),
+            strip_sentences=rng.random() < 0.3,
+            respect_sentence_boundaries=rng.random() < 0.3,
+            always_select_title=rng.random() < 0.3,
+            use_best_reranker_score=rng.random() < 0.7,
+            sentence_splitter=_simple_en_splitter,
+            show_progress=False,
+            return_sentence_metrics=True,
+            return_sentence_texts=True,
+            batch_size=4,
+        )
+        if rng.random() < 0.3:
+            kwargs["reorder"] = True
+            kwargs["top_k"] = rng.randrange(1, 3)
+        if n_q == 1:
+            q_in, c_in = questions[0], contexts[0]
+        else:
+            q_in, c_in = questions, contexts
+        ref_out = ref_model.process(q_in, c_in, **kwargs)
+        my_out = my_model.process(q_in, c_in, **kwargs)
+        note = f"trial {trial}"
+        _assert_nested_close(
+            my_out["sentence_probabilities"],
+            ref_out["sentence_probabilities"],
+            2e-3,
+            note + " probs",
+        )
+        _assert_nested_close(
+            my_out["reranking_score"], ref_out["reranking_score"], 2e-3,
+            note + " score",
+        )
+        _assert_nested_close(
+            my_out["compression_rate"], ref_out["compression_rate"], 0.2,
+            note + " compression",
+        )
+        assert my_out["title"] == ref_out["title"], note
+        # Keep decisions / output text agree exactly unless some sentence
+        # probability sits within numeric noise of the threshold.
+        def _flatten(x, out):
+            if isinstance(x, (list, tuple)):
+                for y in x:
+                    _flatten(y, out)
+            else:
+                out.append(float(x))
+        probs = []
+        _flatten(ref_out["sentence_probabilities"], probs)
+        if probs and np.abs(np.asarray(probs) - kwargs["threshold"]).min() > 5e-3:
+            assert my_out["pruned_context"] == ref_out["pruned_context"], note
+            assert my_out["kept_sentences"] == ref_out["kept_sentences"], note
+            assert my_out["removed_sentences"] == ref_out["removed_sentences"], note
