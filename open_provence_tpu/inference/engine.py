@@ -848,11 +848,13 @@ class OpenProvenceModel:
                 splitter=splitter,
                 strip_sentences=strip_sentences,
                 respect_sentence_boundaries=respect_sentence_boundaries,
-                # decode_fragments stays ON: the decoded text itself is
-                # unused here, but the empty-decode filter it feeds is load-
-                # bearing — fragments that decode to nothing (e.g. all-UNK)
-                # must be dropped for reference keep-decision parity.
-                decode_fragments=True,
+                # "filter_only": the decoded text itself is unused here, but
+                # the empty-decode filter it feeds is load-bearing —
+                # fragments that decode to nothing (e.g. all-UNK) must be
+                # dropped for reference keep-decision parity. This mode
+                # applies the exact same filter while decoding only
+                # undecidable fragments (fragmentize_jobs docstring).
+                decode_fragments="filter_only",
             )
 
         # Thread-parallel fragmentation (the reference uses DataLoader worker

@@ -189,6 +189,67 @@ def decode_and_filter_fragments(
     return _pieces_to_payload(rows)
 
 
+def _solid_id_cache(tokenizer: Any) -> tuple[set[int], set[int]]:
+    """Per-tokenizer memo ``(solid, undecidable)``: an id is SOLID when its
+    single-token decode (specials skipped, no cleanup) contains a clean
+    character — neither whitespace nor U+FFFD. A solid id contributes a
+    complete non-whitespace character that survives concatenation, so any
+    fragment containing one decodes non-empty even after stripping; ids
+    whose lone decode shows only whitespace/U+FFFD (byte-level tokens with
+    partial UTF-8 sequences decode to U+FFFD) prove nothing by themselves —
+    cross-token byte merges can't fool the shortcut because such ids are
+    never classified solid.
+
+    Thread note: preprocess worker threads share these sets. Set adds are
+    GIL-atomic, and an id a thread hasn't seen classified yet merely sends
+    its fragment down the exact real-decode path — keep decisions never
+    flip."""
+    cache = getattr(tokenizer, "_op_tpu_solid_ids", None)
+    if cache is None:
+        cache = (set(), set())
+        try:
+            setattr(tokenizer, "_op_tpu_solid_ids", cache)
+        except Exception:
+            pass
+    return cache
+
+
+def _classify_fragment_solidity(
+    tokenizer: Any, pieces_per_job: Sequence[Sequence[Piece]]
+) -> list[list[bool]]:
+    """For every fragment: True when at least one of its token ids is solid
+    (see :func:`_solid_id_cache` — the fragment's full decode is then
+    provably non-empty after stripping); False means undecidable — only a
+    real decode can apply the empty-fragment filter."""
+    solid, undecidable = _solid_id_cache(tokenizer)
+    known = solid | undecidable if (solid or undecidable) else set()
+    missing: list[int] = []
+    for pieces in pieces_per_job:
+        for ids, *_ in pieces:
+            for token in ids:
+                if token not in known:
+                    known.add(token)
+                    missing.append(token)
+    if missing:
+        texts = tokenizer.batch_decode(
+            [[token] for token in missing],
+            skip_special_tokens=True,
+            clean_up_tokenization_spaces=False,
+        )
+        for token, text in zip(missing, texts):
+            if all(ch.isspace() or ch == "�" for ch in str(text)):
+                undecidable.add(token)
+            else:
+                solid.add(token)
+    # not isdisjoint == "contains at least one solid id" — a C-level scan
+    # that stops at the first hit (the per-fragment Python all() genexpr
+    # was itself ~15 ms per 256-pair call).
+    return [
+        [not solid.isdisjoint(ids) for ids, *_ in pieces]
+        for pieces in pieces_per_job
+    ]
+
+
 def fragmentize_jobs(
     tokenizer: Any,
     jobs: Sequence[Mapping[str, Any]],
@@ -197,18 +258,22 @@ def fragmentize_jobs(
     splitter: SentenceSplitter,
     strip_sentences: bool,
     respect_sentence_boundaries: bool,
-    decode_fragments: bool = True,
+    decode_fragments: bool | str = True,
 ) -> list[dict[str, Any]]:
     """Fragmentize a CHUNK of preprocessing jobs with cross-job batched
     tokenizer calls (same observable per-job output as standalone:897-943).
 
     ``decode_fragments=False`` skips the fragment ``batch_decode`` and the
     empty-decode filtering pass, leaving every ``fragment_texts`` entry
-    blank. The process() engine keeps the default (True): the empty-decode
-    filter is load-bearing for keep-decision parity (all-UNK fragments must
-    be dropped exactly as the reference drops them), even though the engine
-    never reads ``fragment_texts`` itself. Opting out is only safe for
-    callers that reproduce that filtering some other way.
+    blank. The process() engine passes ``"filter_only"``: KEEP/DROP
+    decisions identical to ``True`` (the all-UNK-fragment filter is
+    load-bearing for parity with the reference), but ``fragment_texts``
+    stay blank and the batch decode only runs for the rare fragments whose
+    ids cannot prove themselves non-empty (see
+    :func:`_classify_fragment_solidity`) — the engine never reads fragment
+    text, and the full decode was ~10% of its host budget. Opting decoding
+    fully out (``False``) is only safe for callers that reproduce the
+    filtering some other way.
 
     The Rust tokenizer's per-call overhead dominates small batches, so the
     sentence encode and fragment decode each happen ONCE for the whole chunk
@@ -316,6 +381,23 @@ def fragmentize_jobs(
                 sentences_per_job, prefix_counts_per_job, payloads
             )
         ]
+    if decode_fragments == "filter_only":
+        payloads = _filter_only_payloads(
+            tokenizer, pieces_per_job, strip_sentences
+        )
+        timings["timing_fragment_decode"] += perf_counter() - tick
+        share = {key: value / len(jobs) for key, value in timings.items()}
+        return [
+            {
+                "sentences": sentences,
+                "prefix_token_counts": counts,
+                **share,
+                **payload,
+            }
+            for sentences, counts, payload in zip(
+                sentences_per_job, prefix_counts_per_job, payloads
+            )
+        ]
     flat_ids = [ids for pieces in pieces_per_job for ids, *_ in pieces]
     flat_texts = (
         tokenizer.batch_decode(
@@ -359,6 +441,45 @@ def fragmentize_jobs(
             sentences_per_job, prefix_counts_per_job, payloads
         )
     ]
+
+
+def _filter_only_payloads(
+    tokenizer: Any,
+    pieces_per_job: Sequence[Sequence[Piece]],
+    strip_sentences: bool,
+) -> list[dict[str, list[Any]]]:
+    """Apply the empty-fragment filter with KEEP/DROP decisions identical
+    to the full-decode path, decoding only undecidable fragments; every
+    surviving ``fragment_texts`` entry is blank."""
+    solid_per_job = _classify_fragment_solidity(tokenizer, pieces_per_job)
+    # Real decode for the undecidable minority, one crossing for the chunk.
+    pending: list[tuple[int, int]] = [
+        (job_pos, frag_pos)
+        for job_pos, flags in enumerate(solid_per_job)
+        for frag_pos, solid in enumerate(flags)
+        if not solid
+    ]
+    if pending:
+        decoded = tokenizer.batch_decode(
+            [pieces_per_job[j][f][0] for j, f in pending],
+            skip_special_tokens=True,
+            clean_up_tokenization_spaces=False,
+        )
+        for (job_pos, frag_pos), text in zip(pending, decoded):
+            keep = (
+                bool(str(text).strip()) if strip_sentences else bool(str(text))
+            )
+            solid_per_job[job_pos][frag_pos] = keep
+    payloads: list[dict[str, list[Any]]] = []
+    for pieces, flags in zip(pieces_per_job, solid_per_job):
+        rows = [("", piece) for piece, keep in zip(pieces, flags) if keep]
+        if not rows:
+            # Everything decoded to empty text: keep the first fragment
+            # anyway so downstream always sees at least one (standalone's
+            # fallback; text stays blank in this mode).
+            rows = [("", pieces[0])]
+        payloads.append(_pieces_to_payload(rows))
+    return payloads
 
 
 def fragmentize_job(

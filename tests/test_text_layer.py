@@ -486,3 +486,58 @@ def test_japanese_splitter_real_fast_bunkai():
 
     pieces = splitters.japanese_sentence_splitter("今日は晴れです。明日は雨です。")
     assert "".join(pieces) == "今日は晴れです。明日は雨です。"
+
+
+def test_fragmentize_filter_only_matches_full_decode():
+    """decode_fragments='filter_only' must make the SAME keep/drop decisions
+    as the full-decode path (texts blank), including whitespace-only decodes
+    and the all-empty fallback, in both strip modes."""
+    from open_provence_tpu.text.fragmentation import fragmentize_jobs
+    from tests.dummy_tokenizers import WhitespaceTokenizer
+
+    splitter = lambda t: [s + " " for s in t.split() if s] or [t]  # noqa: E731
+    jobs = [
+        {"context_text": "abcdef. ghij.", "prefix_sentences": []},
+        {"context_text": "", "prefix_sentences": []},
+        {"context_text": "klm nop qrstuv wx", "prefix_sentences": []},
+    ]
+    for tok_cls in (DummyTokenizer, WhitespaceTokenizer):
+        for strip in (False, True):
+            kwargs = dict(
+                max_fragment_tokens=4,
+                splitter=splitter,
+                strip_sentences=strip,
+                respect_sentence_boundaries=False,
+            )
+            full = fragmentize_jobs(tok_cls(), jobs, decode_fragments=True, **kwargs)
+            fast = fragmentize_jobs(
+                tok_cls(), jobs, decode_fragments="filter_only", **kwargs
+            )
+            for f_entry, q_entry in zip(full, fast):
+                for key in (
+                    "fragment_token_ids",
+                    "fragment_sentence_index",
+                    "fragment_fragment_index",
+                    "fragment_global_index",
+                    "sentences",
+                    "prefix_token_counts",
+                ):
+                    assert f_entry[key] == q_entry[key], (tok_cls.__name__, strip, key)
+                assert all(t == "" for t in q_entry["fragment_texts"])
+
+
+def test_filter_only_classifier_cache_reused():
+    from open_provence_tpu.text.fragmentation import (
+        _classify_fragment_solidity,
+        _solid_id_cache,
+    )
+
+    tok = DummyTokenizer()
+    pieces = [[([ord("a") + 10, ord("b") + 10], 0, 0, 0)]]
+    assert _classify_fragment_solidity(tok, pieces) == [[True]]
+    solid, undecidable = _solid_id_cache(tok)
+    assert ord("a") + 10 in solid  # clean char => solid
+    # Second call resolves from the memo (no new ids classified).
+    size = len(solid) + len(undecidable)
+    assert _classify_fragment_solidity(tok, pieces) == [[True]]
+    assert len(solid) + len(undecidable) == size
