@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import re
 import sys
 import time
 from pathlib import Path
@@ -228,7 +229,10 @@ def main() -> None:
             try:
                 entry = bench_train_step(config, params_fp32, **kw)
             except Exception as exc:  # OOM at large no-remat batches is informative
-                entry = {"error": str(exc)[:200], **kw}
+                # First line only, ANSI escapes stripped — the raw axon
+                # tunnel error embeds color codes and log timestamps.
+                message = re.sub(r"\x1b\[[0-9;]*m", "", str(exc))
+                entry = {"error": message.splitlines()[0][:160], **kw}
             results[name] = entry
             print(json.dumps({name: entry}), flush=True)
             if "pairs_per_sec" in entry and (
