@@ -33,6 +33,9 @@ def main() -> None:
 
     n_pairs = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    # Different batch sizes bucket into different jitted executables —
+    # A/B them ACROSS processes (one size per run), not within one.
+    batch_size = int(sys.argv[3]) if len(sys.argv) > 3 else 32
 
     with tempfile.TemporaryDirectory() as tmp:
         tokenizer, vocab_size = build_tokenizer(Path(tmp))
@@ -66,7 +69,7 @@ def main() -> None:
 
         def run(tag: str, *, pipeline: bool, workers: int | None) -> None:
             os.environ["OPEN_PROVENCE_TPU_PIPELINE"] = "1" if pipeline else "0"
-            kwargs = {}
+            kwargs = {"batch_size": batch_size}
             if workers is not None:
                 kwargs["preprocess_workers"] = workers
             # warm twice
@@ -87,6 +90,7 @@ def main() -> None:
                 json.dumps(
                     {
                         "variant": tag,
+                        "batch_size": batch_size,
                         "median_s": round(med, 4),
                         "best_s": round(min(times), 4),
                         "pairs_per_sec": round(n_pairs / med, 1),
