@@ -226,6 +226,10 @@ def _classify_fragment_solidity(
     missing: list[int] = []
     for pieces in pieces_per_job:
         for ids, *_ in pieces:
+            # Warm path: one C-level superset check per fragment instead of
+            # a Python loop over every token.
+            if known.issuperset(ids):
+                continue
             for token in ids:
                 if token not in known:
                     known.add(token)
