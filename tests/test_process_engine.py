@@ -292,3 +292,35 @@ def test_small_batch_size_pipelined_dispatch(model):
     np.testing.assert_allclose(
         small["reranking_score"], expected["reranking_score"], atol=1e-5
     )
+
+
+def test_debug_messages_and_warning_gates(model, caplog):
+    """debug_messages=callable receives the timing line; enable_warnings
+    gates the engine's logging-module warnings (reference
+    standalone:3427-3439 semantics for both hooks)."""
+    import logging
+
+    lines = []
+    model.process(
+        "q", CONTEXT, show_progress=False, debug_messages=lines.append
+    )
+    assert any("timing" in ln.lower() or "preprocess" in ln.lower() for ln in lines), lines
+
+    with pytest.raises(TypeError):
+        model.process("q", CONTEXT, show_progress=False, debug_messages=3)
+
+    # torch_dataloader_kwargs is accepted-but-unused; the note is warned
+    # unless enable_warnings=False.
+    with caplog.at_level(logging.WARNING, logger="open_provence_tpu.inference.engine"):
+        model.process(
+            "q", CONTEXT, show_progress=False,
+            torch_dataloader_kwargs={"num_workers": 2},
+        )
+    assert any("torch_dataloader_kwargs" in r.message for r in caplog.records)
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="open_provence_tpu.inference.engine"):
+        model.process(
+            "q", CONTEXT, show_progress=False,
+            torch_dataloader_kwargs={"num_workers": 2}, enable_warnings=False,
+        )
+    assert not caplog.records
