@@ -359,11 +359,9 @@ def main(argv: list[str] | None = None) -> None:
 
     Env: OPEN_PROVENCE_TPU_PLATFORM=cpu forces the jax platform (this
     environment preloads a TPU plugin that overrides JAX_PLATFORMS)."""
-    platform = os.environ.get("OPEN_PROVENCE_TPU_PLATFORM")
-    if platform:
-        import jax
+    from ..utils.platform import apply_platform_env
 
-        jax.config.update("jax_platforms", platform)
+    apply_platform_env()
     argv = list(sys.argv[1:] if argv is None else argv)
     checkpoint = None
     if "--checkpoint" in argv:

@@ -25,6 +25,9 @@ if str(REPO_ROOT) not in sys.path:
 
 
 def main(argv=None) -> int:
+    from open_provence_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     parser = argparse.ArgumentParser()
     parser.add_argument("--input", required=True, help="Source checkpoint directory.")
     parser.add_argument("--output", required=True, help="Destination directory.")

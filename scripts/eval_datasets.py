@@ -46,6 +46,9 @@ def parse_args(argv=None) -> argparse.Namespace:
 
 
 def main(argv=None) -> int:
+    from open_provence_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     args = parse_args(argv)
     from open_provence_tpu.eval.datasets_eval import EvalConfig, run_evaluation
     from open_provence_tpu.inference import OpenProvenceModel

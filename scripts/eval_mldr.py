@@ -240,6 +240,9 @@ def run_evaluation(args, dataset_path: Path) -> None:
 
 
 def main(argv=None) -> int:
+    from open_provence_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     logging.basicConfig(level=logging.INFO)
     args = parse_args(argv)
     args.output_dir.mkdir(parents=True, exist_ok=True)

@@ -80,6 +80,9 @@ def check_result(
 
 
 def main(argv: list[str] | None = None) -> int:
+    from open_provence_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("checkpoint_dir")
     parser.add_argument("--threshold", type=float, default=0.1)

@@ -45,6 +45,9 @@ def build_cases() -> list[dict]:
 
 
 def main(argv=None) -> int:
+    from open_provence_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     parser = argparse.ArgumentParser()
     parser.add_argument("--model", required=True, help="Checkpoint directory (or hub id).")
     parser.add_argument("--tokenizer", help="Tokenizer path override.")
