@@ -635,8 +635,6 @@ class OpenProvenceModel:
         context_idx: int,
         context_entry: Any,
         title_spec: Any,
-        splitter: SentenceSplitter,
-        strip_sentences: bool,
     ) -> dict[str, Any]:
         """Preprocessing unit for one (query, context) cell: title prefixes
         resolved, sentence splitting deferred. The split runs inside the
@@ -665,9 +663,6 @@ class OpenProvenceModel:
         queries: list[str],
         contexts: list[list[Any]],
         titles: list[Any],
-        splitter: SentenceSplitter,
-        *,
-        strip_sentences: bool,
     ) -> tuple[list[dict[str, Any]], list[list[int]]]:
         """Flatten the (query, context) grid into preprocessing jobs and
         encode each query once (behavior of standalone:2436-2519).
@@ -684,9 +679,7 @@ class OpenProvenceModel:
             list(ids) for ids in tokenize_sentences(self.tokenizer, [str(q) for q in queries])
         ]
         jobs = [
-            self._prep_cell(
-                q_idx, c_idx, entry, titles[q_idx], splitter, strip_sentences
-            )
+            self._prep_cell(q_idx, c_idx, entry, titles[q_idx])
             for q_idx, group in enumerate(contexts)
             for c_idx, entry in enumerate(group)
         ]
@@ -836,9 +829,7 @@ class OpenProvenceModel:
         sep_ids = self.tokenizer.sep_token_ids()
 
         watch.begin("prep")
-        prep_jobs, encoded_queries = self._plan_preprocessing(
-            queries, contexts, titles, splitter, strip_sentences=strip_sentences
-        )
+        prep_jobs, encoded_queries = self._plan_preprocessing(queries, contexts, titles)
 
         def _fragmentize_chunk(jobs: list[dict[str, Any]]) -> list[dict[str, Any]]:
             return fragmentize_jobs(

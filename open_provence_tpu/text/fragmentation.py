@@ -222,7 +222,7 @@ def _classify_fragment_solidity(
     provably non-empty after stripping); False means undecidable — only a
     real decode can apply the empty-fragment filter."""
     solid, undecidable = _solid_id_cache(tokenizer)
-    known = solid | undecidable if (solid or undecidable) else set()
+    known = solid | undecidable
     missing: list[int] = []
     for pieces in pieces_per_job:
         for ids, *_ in pieces:
@@ -365,43 +365,34 @@ def fragmentize_jobs(
             ]
     timings["timing_fragment_split"] += perf_counter() - tick
 
+    def _combine(payloads: list[dict[str, list[Any]]]) -> list[dict[str, Any]]:
+        timings["timing_fragment_decode"] += perf_counter() - tick
+        share = {key: value / len(jobs) for key, value in timings.items()}
+        return [
+            {
+                "sentences": sentences,
+                "prefix_token_counts": counts,
+                **share,
+                **payload,
+            }
+            for sentences, counts, payload in zip(
+                sentences_per_job, prefix_counts_per_job, payloads
+            )
+        ]
+
     # Stage 4: ONE batched decode across every fragment in the chunk.
     tick = perf_counter()
     if not decode_fragments:
-        payloads = [
-            _pieces_to_payload([("", piece) for piece in pieces])
-            for pieces in pieces_per_job
-        ]
-        timings["timing_fragment_decode"] += perf_counter() - tick
-        share = {key: value / len(jobs) for key, value in timings.items()}
-        return [
-            {
-                "sentences": sentences,
-                "prefix_token_counts": counts,
-                **share,
-                **payload,
-            }
-            for sentences, counts, payload in zip(
-                sentences_per_job, prefix_counts_per_job, payloads
-            )
-        ]
-    if decode_fragments == "filter_only":
-        payloads = _filter_only_payloads(
-            tokenizer, pieces_per_job, strip_sentences
+        return _combine(
+            [
+                _pieces_to_payload([("", piece) for piece in pieces])
+                for pieces in pieces_per_job
+            ]
         )
-        timings["timing_fragment_decode"] += perf_counter() - tick
-        share = {key: value / len(jobs) for key, value in timings.items()}
-        return [
-            {
-                "sentences": sentences,
-                "prefix_token_counts": counts,
-                **share,
-                **payload,
-            }
-            for sentences, counts, payload in zip(
-                sentences_per_job, prefix_counts_per_job, payloads
-            )
-        ]
+    if decode_fragments == "filter_only":
+        return _combine(
+            _filter_only_payloads(tokenizer, pieces_per_job, strip_sentences)
+        )
     flat_ids = [ids for pieces in pieces_per_job for ids, *_ in pieces]
     flat_texts = (
         tokenizer.batch_decode(
@@ -431,20 +422,7 @@ def fragmentize_jobs(
             shown = decoded.strip() if strip_sentences else decoded
             payload = _pieces_to_payload([(shown, (ids, sent_idx, frag_idx, global_idx))])
         payloads.append(payload)
-    timings["timing_fragment_decode"] += perf_counter() - tick
-
-    share = {key: value / len(jobs) for key, value in timings.items()}
-    return [
-        {
-            "sentences": sentences,
-            "prefix_token_counts": counts,
-            **share,
-            **payload,
-        }
-        for sentences, counts, payload in zip(
-            sentences_per_job, prefix_counts_per_job, payloads
-        )
-    ]
+    return _combine(payloads)
 
 
 def _filter_only_payloads(
