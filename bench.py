@@ -19,16 +19,25 @@ import numpy as np
 BASELINE_PAIRS_PER_SEC = 810.0
 
 
-def _wait_for_device(attempts: int = 5, probe_timeout_s: int = 180) -> None:
+def _wait_for_device(attempts: int | None = None, probe_timeout_s: int | None = None) -> None:
     """Device discovery over the axon tunnel can HANG in native code (not
     error) while the tunnel is down — a SIGALRM watchdog never fires because
     the GIL is held. Probe in a SUBPROCESS under a timeout and retry with
     backoff so a transiently-down tunnel doesn't wedge the whole bench run;
     exhausted retries raise (no JSON is printed — a crash is honest, a
-    made-up number is not)."""
+    made-up number is not). The tunnel has stayed down for multi-hour
+    stretches, so default patience is ~30 min; override with
+    OPEN_PROVENCE_TPU_BENCH_PROBES / _PROBE_TIMEOUT_S."""
+    import os
     import subprocess
     import sys
 
+    if attempts is None:
+        attempts = int(os.environ.get("OPEN_PROVENCE_TPU_BENCH_PROBES", "10"))
+    if probe_timeout_s is None:
+        probe_timeout_s = int(
+            os.environ.get("OPEN_PROVENCE_TPU_BENCH_PROBE_TIMEOUT_S", "150")
+        )
     for attempt in range(attempts):
         try:
             subprocess.run(
