@@ -396,3 +396,29 @@ def test_process_parity_fuzz(both_models):
             assert my_out["pruned_context"] == ref_out["pruned_context"], note
             assert my_out["kept_sentences"] == ref_out["kept_sentences"], note
             assert my_out["removed_sentences"] == ref_out["removed_sentences"], note
+
+
+def test_process_parity_unk_only_sentences(both_models):
+    """Sentences tokenizing entirely to UNK decode to empty text; the
+    empty-fragment filter must drop them exactly as the reference does
+    (this also exercises the engine's filter_only decode shortcut)."""
+    ref_model, my_model = both_models
+    context = (
+        "sushi is the best dish in kyoto . "
+        "日本語 文章 です 。 "
+        "budget deadline spreadsheet piled up . "
+        "🍣 🍜 ∆ . "
+        "travel to tokyo in spring ."
+    )
+    for strip in (False, True):
+        ref_out, my_out = _run_both(
+            ref_model, my_model, QUERY, context, threshold=0.5,
+            strip_sentences=strip,
+        )
+        ref_probs = np.asarray(ref_out["sentence_probabilities"], dtype=np.float64)
+        my_probs = np.asarray(my_out["sentence_probabilities"], dtype=np.float64)
+        assert ref_probs.shape == my_probs.shape, (strip, ref_probs, my_probs)
+        np.testing.assert_allclose(my_probs, ref_probs, atol=2e-3)
+        assert my_out["kept_sentences"] == ref_out["kept_sentences"], strip
+        assert my_out["removed_sentences"] == ref_out["removed_sentences"], strip
+        assert my_out["pruned_context"] == ref_out["pruned_context"], strip
