@@ -486,6 +486,43 @@ class OpenProvenceModel:
         rank, means = jax.device_get(fn(self.params, ids, mask, fs, fe))
         return np.asarray(rank), np.asarray(means)
 
+    def warmup(
+        self,
+        batch_size: int = 32,
+        lengths: Sequence[int] | None = None,
+        *,
+        include_pooled: bool = True,
+        fragment_caps: Sequence[int] = (16,),
+    ) -> list[tuple[int, ...]]:
+        """Pre-compile the bucketed forward programs ``process()`` will hit.
+
+        TPU compiles take 20 s+ each; a serving deployment calls this once at
+        startup so the first user request doesn't pay them. Compiles the
+        full-batch program for every bucket length (all ``lengths`` from the
+        model's bucket table by default) — the shapes the engine dispatches
+        for full chunks — plus, when ``include_pooled``, the device-pooling
+        variant at each ``fragment_caps`` entry (``_frag_cap`` buckets
+        per-row fragment capacity to powers of two, min 16). Returns the
+        compiled cache keys. New surface (no reference counterpart — the
+        torch reference has no compile step)."""
+        if lengths is None:
+            lengths = length_buckets(self.max_length, self.bucket_step)
+        warmed: list[tuple[int, ...]] = []
+        rows = self._bucket_rows(batch_size, batch_size)
+        for seq_len in lengths:
+            ids = np.zeros((rows, seq_len), dtype=np.int32)
+            mask = np.ones((rows, seq_len), dtype=np.int32)
+            self._run_device_batch(ids, mask)
+            warmed.append((rows, seq_len))
+            if include_pooled and self.device_pooling:
+                for cap in fragment_caps:
+                    f_cap = self._frag_cap(int(cap))
+                    starts = np.zeros((rows, f_cap), dtype=np.int32)
+                    ends = np.zeros((rows, f_cap), dtype=np.int32)
+                    self._run_device_batch_pooled(ids, mask, starts, ends)
+                    warmed.append((rows, seq_len, f_cap))
+        return warmed
+
     # --- raw prediction APIs ---------------------------------------------------
 
     def get_raw_predictions(

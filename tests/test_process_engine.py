@@ -324,3 +324,19 @@ def test_debug_messages_and_warning_gates(model, caplog):
             torch_dataloader_kwargs={"num_workers": 2}, enable_warnings=False,
         )
     assert not caplog.records
+
+
+def test_warmup_precompiles_bucket_programs(model):
+    """warmup() must populate the jit caches for the shapes process()
+    dispatches, so a following call adds no new compilations."""
+    model._jit_cache.clear()
+    model._jit_pool_cache.clear()
+    warmed = model.warmup(batch_size=4)
+    assert warmed
+    assert set(model._jit_cache) == {(4, L) for L in (16, 32, 48, 64)}
+    keys_before = set(model._jit_cache) | set(model._jit_pool_cache)
+    model.process("q", [CONTEXT] * 6, batch_size=4, show_progress=False)
+    keys_after = set(model._jit_cache) | set(model._jit_pool_cache)
+    # Some partial-chunk row counts may still compile lazily; the full-batch
+    # bucket programs must all have been covered by warmup.
+    assert {k for k in keys_after - keys_before if k[0] == 4} == set()
