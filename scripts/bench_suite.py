@@ -160,6 +160,9 @@ def bench_train_step(config, params, pairs=256, seq=512, iters=4, remat=True):
 
 
 def main() -> None:
+    from open_provence_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     parser = argparse.ArgumentParser()
     parser.add_argument("--out", type=Path, default=None)
     parser.add_argument("--skip-process", action="store_true")

@@ -22,6 +22,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
+    from open_provence_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     import jax
     import jax.numpy as jnp
 
