@@ -47,9 +47,15 @@ def _wait_for_device(attempts: int | None = None, probe_timeout_s: int | None = 
                 capture_output=True,
             )
             return
-        except Exception:
+        except Exception as exc:
             if attempt == attempts - 1:
-                raise
+                raise RuntimeError(
+                    f"TPU device discovery failed after {attempts} probes "
+                    f"({probe_timeout_s}s each) — the axon tunnel appears "
+                    "down. No JSON emitted (an unmeasured number would be "
+                    "dishonest); the most recent REAL measurements are "
+                    "committed in benchmarks/bench_suite_tpu.json."
+                ) from exc
             time.sleep(min(60, 10 * (attempt + 1)))
 
 
