@@ -218,6 +218,7 @@ class OpenProvenceTrainer:
         self.save_total_limit = save_total_limit
         self.attention_impl = attention_impl
         self.mesh = mesh if mesh is not None else create_mesh()
+        self.tensor_parallel = bool(tensor_parallel)
         self.log_fn = log_fn
         self.log_history: list[dict[str, Any]] = []
 
@@ -545,6 +546,7 @@ class OpenProvenceTrainer:
                     "rng_state": np.asarray(
                         jax.random.key_data(self._rng)
                     ).tolist(),
+                    "tensor_parallel": self.tensor_parallel,
                 }
             )
         )
@@ -579,14 +581,30 @@ class OpenProvenceTrainer:
         }
         with ocp.StandardCheckpointer() as ckptr:
             restored = ckptr.restore((path / "train_state").resolve(), target)
-        params = jax.tree.map(jnp.asarray, restored["params"])
+
+        # Re-place each restored leaf with the LIVE state's sharding so resume
+        # preserves whatever layout __init__ established (replicated for DP,
+        # PartitionSpecs from shard_params for tensor_parallel=True). A fixed
+        # replicated() here used to silently drop TP sharding on resume.
+        # Leaves whose live sharding is not a NamedSharding (e.g. scalar
+        # optimizer counters created uncommitted inside optimizer.init) are
+        # placed replicated — committing them to their current single device
+        # would poison the jitted step with mixed placements.
+        from jax.sharding import NamedSharding
+
+        def _place_like(current, restored_leaf):
+            sharding = getattr(current, "sharding", None)
+            if not isinstance(sharding, NamedSharding):
+                sharding = replicated(self.mesh)
+            return jax.device_put(jnp.asarray(restored_leaf), sharding)
+
         with self.mesh:
-            params = jax.device_put(params, replicated(self.mesh))
-        opt_state = self.state.opt_state
-        if restore_opt_state:
-            opt_state = jax.tree.map(jnp.asarray, restored["opt_state"])
-            with self.mesh:
-                opt_state = jax.device_put(opt_state, replicated(self.mesh))
+            params = jax.tree.map(_place_like, self.state.params, restored["params"])
+            opt_state = self.state.opt_state
+            if restore_opt_state:
+                opt_state = jax.tree.map(
+                    _place_like, self.state.opt_state, restored["opt_state"]
+                )
         state_file = path / "trainer_state.json"
         step = self.state.step
         if state_file.exists():
@@ -599,6 +617,15 @@ class OpenProvenceTrainer:
             if rng_state is not None:
                 self._rng = jax.random.wrap_key_data(
                     jnp.asarray(rng_state, dtype=jnp.uint32)
+                )
+            saved_tp = payload.get("tensor_parallel")
+            if saved_tp is not None and bool(saved_tp) != self.tensor_parallel:
+                logger.warning(
+                    "Checkpoint was written with tensor_parallel=%s but this "
+                    "trainer uses tensor_parallel=%s; restored arrays take the "
+                    "live trainer's layout.",
+                    saved_tp,
+                    self.tensor_parallel,
                 )
         self.state = TrainState(params=params, opt_state=opt_state, step=step)
 
