@@ -227,18 +227,26 @@ def _child(status_path: str) -> None:
     forced_cpu = os.environ.get("OPEN_PROVENCE_TPU_PLATFORM") == "cpu"
     config = _flagship_config(tiny=forced_cpu)
     module = build_module(config)
-    params = module.init(
-        jax.random.PRNGKey(0),
-        np.zeros((1, 8), dtype=np.int32),
-        np.ones((1, 8), dtype=np.int32),
-        attention_impl="xla",
-    )["params"]
-    params = jax.tree.map(
-        lambda x: x.astype(jnp.bfloat16)
-        if jnp.issubdtype(x.dtype, jnp.floating)
-        else x,
-        params,
-    )
+
+    # Eager module.init is hundreds of tiny dispatches — ~4.5 min over the
+    # axon tunnel (each op is a round trip). Jitting init + the bf16 cast
+    # into ONE program makes build a single compile + single dispatch.
+    @jax.jit
+    def _init(rng):
+        variables = module.init(
+            rng,
+            jnp.zeros((1, 8), dtype=jnp.int32),
+            jnp.ones((1, 8), dtype=jnp.int32),
+            attention_impl="xla",
+        )
+        return jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if jnp.issubdtype(x.dtype, jnp.floating)
+            else x,
+            variables["params"],
+        )
+
+    params = _init(jax.random.PRNGKey(0))
 
     platform = jax.devices()[0].platform
     attention_impl = "auto"
