@@ -352,10 +352,14 @@ def apply_cli_overrides(argv: list[str], *arg_objects: Any) -> list[str]:
 
 def main(argv: list[str] | None = None) -> None:
     """CLI: open_provence_trainer <config.yaml> [--checkpoint path]
-    [--<field> value ...]
+    [--eval-datasets-model path] [--<field> value ...]
 
     Any argument dataclass field can be overridden from the CLI, e.g.
     ``--learning_rate 1e-4 --data_args.subset freq2``.
+
+    ``--eval-datasets-model <path>`` (alias ``--only-eval-datasets-model``)
+    skips training and runs only the config's eval_datasets hook against the
+    given model directory (reference runner.py:196-209, 318-324).
 
     Env: OPEN_PROVENCE_TPU_PLATFORM=cpu forces the jax platform (this
     environment preloads a TPU plugin that overrides JAX_PLATFORMS)."""
@@ -368,10 +372,19 @@ def main(argv: list[str] | None = None) -> None:
         idx = argv.index("--checkpoint")
         checkpoint = argv[idx + 1]
         del argv[idx : idx + 2]
+    eval_model = None
+    for flag in ("--eval-datasets-model", "--only-eval-datasets-model"):
+        if flag in argv:
+            idx = argv.index(flag)
+            if idx + 1 >= len(argv):
+                raise SystemExit(f"{flag} requires a model path argument")
+            eval_model = argv[idx + 1]
+            del argv[idx : idx + 2]
     if not argv:
         print(
             "usage: python -m open_provence_tpu.train.cli <config.yaml> "
-            "[--checkpoint path] [--<field> value ...]"
+            "[--checkpoint path] [--eval-datasets-model path] "
+            "[--<field> value ...]"
         )
         raise SystemExit(2)
     config_file = argv[0]
@@ -379,6 +392,13 @@ def main(argv: list[str] | None = None) -> None:
     leftovers = apply_cli_overrides(argv[1:], model_args, data_args, training_args)
     if leftovers:
         raise SystemExit(f"Unrecognized arguments: {leftovers}")
+    if eval_model:
+        eval_settings = training_args.eval_datasets
+        if not eval_settings:
+            print("No eval_datasets configuration found; nothing to evaluate.")
+            return
+        run_eval_datasets_for_model(eval_model, eval_settings)
+        return
     if checkpoint:
         training_args.resume_from_checkpoint = checkpoint
     run_name = Path(config_file).stem

@@ -144,6 +144,39 @@ def test_eval_datasets_hook_produced_reports(toy_run):
     assert "F2" in report or "f2" in report
 
 
+def test_eval_datasets_model_flag_runs_eval_only(toy_run):
+    """--eval-datasets-model <path> must skip training and run only the
+    eval hook against the given model (reference runner.py:196-209)."""
+    proc, out_dir = toy_run
+    final = out_dir / "final_model"
+    results = final / "eval_datasets" / "results.json"
+    before = results.stat().st_mtime
+    config_path = str(out_dir.parent / "train_toy.yaml")
+    env = dict(os.environ)
+    env["OPEN_PROVENCE_TPU_PLATFORM"] = "cpu"
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = ""
+    rerun = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "open_provence_tpu.train.cli",
+            config_path,
+            "--eval-datasets-model",
+            str(final),
+        ],
+        cwd=REPO_ROOT,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert rerun.returncode == 0, rerun.stdout[-2000:] + rerun.stderr[-2000:]
+    # No new checkpoints (training skipped), but the eval reports refreshed.
+    assert results.stat().st_mtime > before
+    assert json.loads(results.read_text())
+
+
 def test_final_model_reloads_in_model_and_encoder(toy_run):
     _, out_dir = toy_run
     final = out_dir / "final_model"
