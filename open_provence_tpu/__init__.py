@@ -55,6 +55,13 @@ def __getattr__(name):
         from .train import runner
 
         return runner
+    if name in (
+        "OpenProvenceForSequenceClassification",
+        "OpenProvenceForTokenClassification",
+    ):
+        from .models import hf_wrappers
+
+        return getattr(hf_wrappers, name)
     raise AttributeError(name)
 
 __all__ = [
@@ -65,6 +72,8 @@ __all__ = [
     "OpenProvenceModule",
     "OpenProvenceEncoder",
     "OpenProvenceModel",
+    "OpenProvenceForSequenceClassification",
+    "OpenProvenceForTokenClassification",
     "OpenProvenceOutput",
     "OpenProvenceOnlyOutput",
     "RerankingOpenProvenceOutput",

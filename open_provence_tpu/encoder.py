@@ -570,6 +570,13 @@ class OpenProvenceEncoder:
 
         save_directory = Path(save_directory)
         save_directory.mkdir(parents=True, exist_ok=True)
+        # Self-describing checkpoint metadata (reference encoder.py:1079-1085):
+        # `auto_map` points at the standalone bundle's shim module, the
+        # TPU build's no-install load path (see models/hf_wrappers.py).
+        from .models.hf_wrappers import ARCHITECTURES, AUTO_MAP
+
+        self.config.auto_map = dict(AUTO_MAP)
+        self.config.extras.setdefault("architectures", list(ARCHITECTURES))
         self.config.save(save_directory)
         sd = flax_params_to_hf(jax.device_get(self.params), self.config)
         save_safetensors_state_dict(sd, save_directory / "model.safetensors")

@@ -15,6 +15,10 @@ from .configs import (
 )
 from .encoder import OpenProvenceEncoder
 from .inference import OpenProvenceModel, OpenProvenceRawPrediction
+from .models.hf_wrappers import (
+    OpenProvenceForSequenceClassification,
+    OpenProvenceForTokenClassification,
+)
 from .utils.tracing import ProcessPerformanceTrace
 
 __all__ = [
@@ -24,6 +28,8 @@ __all__ = [
     "PruningHeadConfig",
     "OpenProvenceEncoder",
     "OpenProvenceModel",
+    "OpenProvenceForSequenceClassification",
+    "OpenProvenceForTokenClassification",
     "OpenProvenceRawPrediction",
     "ProcessPerformanceTrace",
 ]

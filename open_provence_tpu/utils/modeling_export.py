@@ -54,6 +54,10 @@ if str(_HERE) not in sys.path:
 from open_provence_tpu.configs import OpenProvenceConfig  # noqa: E402,F401
 from open_provence_tpu.encoder import OpenProvenceEncoder  # noqa: E402,F401
 from open_provence_tpu.inference import OpenProvenceModel  # noqa: E402,F401
+from open_provence_tpu.models.hf_wrappers import (  # noqa: E402,F401
+    OpenProvenceForSequenceClassification,
+    OpenProvenceForTokenClassification,
+)
 '''
 
 
