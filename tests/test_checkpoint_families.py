@@ -212,6 +212,7 @@ def test_family_inventory_conversion_and_roundtrip(reference_modules, family):
         )
 
 
+@pytest.mark.slow
 def test_convert_checkpoint_cli_on_family_dir(reference_modules, tmp_path):
     """convert_checkpoint.py must accept a reference-layout family dir and
     re-export a loadable checkpoint (en-gte: the mean-pooling family)."""

@@ -210,6 +210,7 @@ def test_frequency_filter_train():
 # --- converter CLI subprocess ---------------------------------------------------
 
 
+@pytest.mark.slow
 def test_converter_cli_subprocess(tmp_path):
     source = DatasetDict(
         {

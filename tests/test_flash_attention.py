@@ -329,6 +329,7 @@ def test_banded_kernel_parity_and_policy(monkeypatch):
     assert lse_diff.transpose(0, 2, 1)[valid].max() < 2e-5
 
 
+@pytest.mark.slow
 def test_banded_forward_grid_backward_gradient(monkeypatch):
     """With the banded promotion active (block_q == S), the backward must
     re-pick grid-friendly blocks — gradients still match the XLA reference."""

@@ -153,6 +153,7 @@ def test_forward_parity(num_labels):
     )
 
 
+@pytest.mark.slow
 def test_padding_invariance():
     """Padded-batch outputs at valid positions must equal per-row unpadded
     outputs — the property the inference engine's bucketed padding relies on."""
@@ -249,6 +250,7 @@ def test_mean_pooling_parity():
     np.testing.assert_allclose(logits, hf_logits, atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_long_context_parity_crossing_window_boundary():
     """S=1024 ≫ local_attention=128 with max_position_embeddings=8192: the
     sliding-window band (±64) and the dual-theta rope tables past position

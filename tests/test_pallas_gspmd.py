@@ -15,6 +15,10 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
+# 8-device-mesh integration tests: heavy jit compiles, excluded from the
+# default fast suite (run with `pytest -m slow`).
+pytestmark = pytest.mark.slow
+
 # Shapes chosen to satisfy every kernel gate: hidden % 128 == 0,
 # head_dim == 64 with an even head count (packed flash), intermediate % 64,
 # seq % 128, and per-shard rows % 8 on the 8-device mesh.

@@ -326,6 +326,7 @@ def test_debug_messages_and_warning_gates(model, caplog):
     assert not caplog.records
 
 
+@pytest.mark.slow
 def test_warmup_precompiles_bucket_programs(model):
     """warmup() must populate the jit caches for the shapes process()
     dispatches, so a following call adds no new compilations."""

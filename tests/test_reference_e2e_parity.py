@@ -302,6 +302,7 @@ def _assert_nested_close(mine, theirs, atol, path=""):
         assert mine == theirs, (path, mine, theirs)
 
 
+@pytest.mark.slow
 def test_process_parity_fuzz(both_models):
     """Seeded random workloads over the full kwargs surface: shapes
     (str/list/aligned/nested), titles (none/explicit/list/first_sentence),

@@ -33,6 +33,7 @@ def exported_checkpoint(tmp_path_factory):
     return ckpt
 
 
+@pytest.mark.slow
 def test_standalone_bundle_portable(exported_checkpoint, tmp_path):
     from open_provence_tpu.utils.modeling_export import write_standalone_bundle
 
@@ -67,6 +68,7 @@ def test_standalone_bundle_portable(exported_checkpoint, tmp_path):
     assert payload["pruned"] == "sushi is a dish . budget is boring ."
 
 
+@pytest.mark.slow
 def test_process_check_cli(exported_checkpoint):
     import importlib.util
 

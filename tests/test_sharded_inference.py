@@ -4,6 +4,10 @@ CPU mesh must produce the same results as single-device."""
 import numpy as np
 import pytest
 
+# 8-device-mesh integration tests: heavy jit compiles, excluded from the
+# default fast suite (run with `pytest -m slow`).
+pytestmark = pytest.mark.slow
+
 import jax
 
 

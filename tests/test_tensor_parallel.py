@@ -11,6 +11,10 @@ divergence beyond fp32 reduction-order noise is a bug in
 import numpy as np
 import pytest
 
+# 8-device-mesh integration tests: heavy jit compiles, excluded from the
+# default fast suite (run with `pytest -m slow`).
+pytestmark = pytest.mark.slow
+
 from tests.dummy_tokenizers import PairDummyTokenizer
 
 

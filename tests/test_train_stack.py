@@ -290,6 +290,7 @@ def _train_batch(collator):
     return collator(feats * 2)
 
 
+@pytest.mark.slow
 def test_gradient_accumulation_matches_full_batch(tmp_path):
     """accum=2 over two half-batches must reproduce accum=1 over their
     concatenation: same loss trajectory, same params (VERDICT r2 item 3).
@@ -376,6 +377,7 @@ def test_gradient_accumulation_matches_full_batch(tmp_path):
         make(tmp_path / "bad", 0)
 
 
+@pytest.mark.slow
 def test_trainer_smoke_loss_decreases(tmp_path):
     import jax
 
@@ -390,6 +392,7 @@ def test_trainer_smoke_loss_decreases(tmp_path):
     assert "ranking_loss" in metrics and "pruning_loss" in metrics
 
 
+@pytest.mark.slow
 def test_trainer_owns_param_copies_and_deferred_sync(tmp_path):
     """The donated train step must never delete the CALLER's param arrays:
     two trainers built from the same (device-resident) params both step.
@@ -422,6 +425,7 @@ def test_trainer_owns_param_copies_and_deferred_sync(tmp_path):
     assert np.isfinite(float(np.sum(jax.device_get(jax.tree.leaves(shared)[0]))))
 
 
+@pytest.mark.slow
 def test_trainer_checkpoint_roundtrip(tmp_path):
     trainer, collator, _ = _tiny_training_setup(tmp_path)
     batch = _train_batch(collator)
@@ -444,6 +448,7 @@ def test_trainer_checkpoint_roundtrip(tmp_path):
     assert trainer2.state.step == 3 and step_before == 3
 
 
+@pytest.mark.slow
 def test_trainer_resume_resolution(tmp_path):
     from open_provence_tpu.train.trainer import resolve_resume_checkpoint_path
 
@@ -463,6 +468,7 @@ def test_trainer_resume_resolution(tmp_path):
         resolve_resume_checkpoint_path(tmp_path / "nope")
 
 
+@pytest.mark.slow
 def test_trainer_export_reload_process(tmp_path):
     from open_provence_tpu.inference import OpenProvenceModel
 
@@ -476,6 +482,7 @@ def test_trainer_export_reload_process(tmp_path):
     assert result["pruned_context"] == "abc def. ghi jkl."
 
 
+@pytest.mark.slow
 def test_trainer_full_loop_with_eval(tmp_path):
     trainer, collator, _ = _tiny_training_setup(tmp_path, total_steps=4)
 
