@@ -1535,6 +1535,258 @@ def _bwd_dkv_kernel_packed(
         dv_ref[0, :, p * lanes:(p + 1) * lanes] = jnp.concatenate(dv_halves, axis=-1)
 
 
+def _bwd_fused_kernel_packed(
+    q_ref,  # [1, S, h·D] — q lane region
+    k_ref,  # [1, S, h·D]
+    v_ref,  # [1, S, h·D]
+    do_ref,  # [1, S, h·D]
+    lse_ref,  # [1, h, S, 1] fp32
+    delta_ref,  # [1, h, S, 1] fp32
+    mask_ref,  # [1, 1, S]
+    rope_ref,  # [2, S, D]
+    dq_ref,  # [1, S, h·D]
+    dk_ref,  # [1, S, h·D]
+    dv_ref,  # [1, S, h·D]
+    *,
+    seq_len: int,
+    sub_q: int,
+    sub_k: int,
+    h_block: int,
+    head_dim: int,
+    window: int | None,
+    scale: float,
+    has_mask: bool,
+    has_rope: bool,
+):
+    """One-pass FA2 backward: dq, dk, dv from a single S/P/dP recompute.
+
+    The split dq/dkv kernels each rebuild S = QKᵀ and dP = dO·Vᵀ, paying 7
+    GEMM-units per tile across the two passes; recomputing them once and
+    emitting all three grads costs 5 — a 2/7 FLOP cut in attention backward —
+    and reads qkv/dO/lse/delta from HBM once instead of twice. The price is
+    holding the whole sequence per (batch, head-group) program, so the
+    dispatcher gates this kernel on seq_len (training shapes: S=512).
+
+    Rope is applied ONCE per head to full-S q/k (the split kernels re-apply
+    it per block iteration), at pair width (128 lanes) like the forward.
+    Static sub-tiling (sub_q × sub_k) keeps fp32 temporaries bounded and
+    statically skips tiles outside a local layer's |i−j| ≤ window band."""
+    lanes = 2 * head_dim
+    num_pairs = h_block // 2
+    nq = seq_len // sub_q
+    nk = seq_len // sub_k
+
+    if has_rope:
+        rot_pp = _rot_half_matrix_pair(head_dim, q_ref.dtype)
+        cos = rope_ref[0]  # [S, D]
+        sin = rope_ref[1]
+        cos2 = jnp.concatenate([cos, cos], axis=-1)  # [S, 2D] pair lanes
+        sin2 = jnp.concatenate([sin, sin], axis=-1)
+
+    def tile_needed(qi: int, kj: int) -> bool:
+        if window is None:
+            return True
+        lo_r, hi_r = qi * sub_q, qi * sub_q + sub_q - 1
+        lo_c, hi_c = kj * sub_k, kj * sub_k + sub_k - 1
+        if lo_c > hi_r:
+            dist = lo_c - hi_r
+        elif lo_r > hi_c:
+            dist = lo_r - hi_c
+        else:
+            dist = 0
+        return dist <= window
+
+    for p in range(num_pairs):
+        q_pair = q_ref[0, :, p * lanes:(p + 1) * lanes]
+        k_pair = k_ref[0, :, p * lanes:(p + 1) * lanes]
+        v_pair = v_ref[0, :, p * lanes:(p + 1) * lanes]
+        do_pair = do_ref[0, :, p * lanes:(p + 1) * lanes]
+        if has_rope:
+            q_pair = _apply_rope_mx(q_pair, cos2, sin2, rot_pp)
+            k_pair = _apply_rope_mx(k_pair, cos2, sin2, rot_pp)
+
+        dq_halves, dk_halves, dv_halves = [], [], []
+        for sub in range(2):
+            h = 2 * p + sub
+            q = q_pair[:, sub * head_dim:(sub + 1) * head_dim]
+            k = k_pair[:, sub * head_dim:(sub + 1) * head_dim]
+            v = v_pair[:, sub * head_dim:(sub + 1) * head_dim]
+            do = do_pair[:, sub * head_dim:(sub + 1) * head_dim]
+            lse_h = lse_ref[0, h]  # [S, 1] fp32
+            delta_h = delta_ref[0, h]
+
+            dq_tiles = [
+                jnp.zeros((sub_q, head_dim), jnp.float32) for _ in range(nq)
+            ]
+            dk_tiles = [
+                jnp.zeros((sub_k, head_dim), jnp.float32) for _ in range(nk)
+            ]
+            dv_tiles = [
+                jnp.zeros((sub_k, head_dim), jnp.float32) for _ in range(nk)
+            ]
+            for qi in range(nq):
+                q_i = q[qi * sub_q:(qi + 1) * sub_q]
+                do_i = do[qi * sub_q:(qi + 1) * sub_q]
+                lse_i = lse_h[qi * sub_q:(qi + 1) * sub_q]
+                delta_i = delta_h[qi * sub_q:(qi + 1) * sub_q]
+                row_ids = (
+                    jax.lax.broadcasted_iota(jnp.int32, (sub_q, sub_k), 0)
+                    + qi * sub_q
+                )
+                for kj in range(nk):
+                    if not tile_needed(qi, kj):
+                        continue
+                    bias = _band_bias(
+                        mask_ref, row_ids, kj * sub_k, sub_q, sub_k,
+                        window, has_mask,
+                    )
+                    k_j = k[kj * sub_k:(kj + 1) * sub_k]
+                    v_j = v[kj * sub_k:(kj + 1) * sub_k]
+                    s = jax.lax.dot_general(
+                        q_i, k_j, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ) * scale
+                    if bias is not None:
+                        s = s + bias
+                    p_mat = jnp.exp(s - lse_i)
+                    dp = jax.lax.dot_general(
+                        do_i, v_j, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    ds = p_mat * (dp - delta_i)
+                    dv_tiles[kj] = dv_tiles[kj] + jax.lax.dot_general(
+                        p_mat.astype(do.dtype), do_i, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    ds_c = ds.astype(q.dtype)
+                    dk_tiles[kj] = dk_tiles[kj] + jax.lax.dot_general(
+                        ds_c, q_i, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    dq_tiles[qi] = dq_tiles[qi] + jax.lax.dot_general(
+                        ds_c, k_j, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+
+            dq_halves.append(
+                (jnp.concatenate(dq_tiles, axis=0) * scale).astype(q_ref.dtype)
+            )
+            dk_halves.append(
+                (jnp.concatenate(dk_tiles, axis=0) * scale).astype(q_ref.dtype)
+            )
+            dv_halves.append(
+                jnp.concatenate(dv_tiles, axis=0).astype(q_ref.dtype)
+            )
+
+        dq_p = jnp.concatenate(dq_halves, axis=-1)
+        dk_p = jnp.concatenate(dk_halves, axis=-1)
+        if has_rope:
+            dq_p = _rope_adjoint_mx(dq_p, cos2, sin2, rot_pp)
+            dk_p = _rope_adjoint_mx(dk_p, cos2, sin2, rot_pp)
+        dq_ref[0, :, p * lanes:(p + 1) * lanes] = dq_p
+        dk_ref[0, :, p * lanes:(p + 1) * lanes] = dk_p
+        dv_ref[0, :, p * lanes:(p + 1) * lanes] = jnp.concatenate(
+            dv_halves, axis=-1
+        )
+
+
+def _fused_bwd_sub_blocks(
+    seq_len: int, window: int | None
+) -> tuple[int, int] | None:
+    """(sub_q, sub_k) for the fused one-pass backward, or None to use the
+    split dq/dkv kernels.
+
+    Gates: whole-sequence-per-program only pays while q/k/v/do + the three
+    fp32 accumulators fit comfortably per head (S ≤ 1024 covers the training
+    shapes; longer sequences stay on the split kernels whose block grids
+    bound VMEM). ``OPEN_PROVENCE_TPU_BWD_FUSED=0`` reverts;
+    ``OPEN_PROVENCE_TPU_BWD_FUSED_SUB="sq,sk"`` overrides the tile shape."""
+    if os.environ.get("OPEN_PROVENCE_TPU_BWD_FUSED", "1") == "0":
+        return None
+    if seq_len > 1024:
+        return None
+    sub_env = os.environ.get("OPEN_PROVENCE_TPU_BWD_FUSED_SUB")
+    if sub_env:
+        sub_q, sub_k = (int(x) for x in sub_env.split(","))
+    else:
+        # Full-sequence tiles: at S=512 the window-128 band covers 62% of
+        # the matrix, where sub-tile skipping measured slower than one big
+        # MXU walk in the forward (banded_sub_blocks); backward defaults
+        # match until a sweep says otherwise.
+        sub_q = sub_k = min(seq_len, 512)
+    if seq_len % sub_q != 0 or seq_len % sub_k != 0:
+        return None
+    return sub_q, sub_k
+
+
+def _flash_backward_fused_packed(
+    qkv, num_heads, mask_in, rope_in, lse, delta, g, window, sub_q, sub_k,
+    has_mask, has_rope,
+):
+    """Dispatch the one-pass fused backward. Returns d(qkv) [B, S, 3·H·D]."""
+    batch, seq_len, three_hd = qkv.shape
+    head_dim = three_hd // (3 * num_heads)
+    hidden = num_heads * head_dim
+    scale = head_dim**-0.5
+    # Per-head VMEM: 4 bf16 [S, D] inputs (double-buffered), 3 fp32 [S, D]
+    # accumulators, and the [sub_q, sub_k] fp32 temporaries.
+    itemsize = jnp.dtype(qkv.dtype).itemsize
+    per_head = (
+        4 * 2 * seq_len * head_dim * itemsize
+        + 3 * seq_len * head_dim * 4
+        + 4 * sub_q * sub_k * 4
+        + 2 * 2 * seq_len * 128 * 4  # lse/delta rows, lane-padded
+    )
+    budget = 24 * 1024 * 1024
+    h_block = 2
+    for cand in (8, 6, 4, 2):
+        if num_heads % cand == 0 and cand * per_head <= budget:
+            h_block = cand
+            break
+    groups = num_heads // h_block
+    lane_blk = h_block * head_dim
+    q_spec = pl.BlockSpec((1, seq_len, lane_blk), lambda b, h: (b, 0, h))
+    k_spec = pl.BlockSpec(
+        (1, seq_len, lane_blk), lambda b, h: (b, 0, groups + h)
+    )
+    v_spec = pl.BlockSpec(
+        (1, seq_len, lane_blk), lambda b, h: (b, 0, 2 * groups + h)
+    )
+    g_spec = pl.BlockSpec((1, seq_len, lane_blk), lambda b, h: (b, 0, h))
+    row_spec = pl.BlockSpec((1, h_block, seq_len, 1), lambda b, h: (b, h, 0, 0))
+    mask_spec = pl.BlockSpec((1, 1, seq_len), lambda b, h: (b, 0, 0))
+    rope_spec = pl.BlockSpec((2, seq_len, head_dim), lambda b, h: (0, 0, 0))
+    out_spec = pl.BlockSpec((1, seq_len, lane_blk), lambda b, h: (b, 0, h))
+    statics = dict(
+        seq_len=seq_len,
+        sub_q=sub_q,
+        sub_k=sub_k,
+        h_block=h_block,
+        head_dim=head_dim,
+        window=window,
+        scale=scale,
+        has_mask=has_mask,
+        has_rope=has_rope,
+    )
+    dq, dk, dv = _pallas_call(
+        functools.partial(_bwd_fused_kernel_packed, **statics),
+        grid=(batch, groups),
+        in_specs=[q_spec, k_spec, v_spec, g_spec, row_spec, row_spec,
+                  mask_spec, rope_spec],
+        out_specs=[out_spec, out_spec, out_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((batch, seq_len, hidden), qkv.dtype),
+            jax.ShapeDtypeStruct((batch, seq_len, hidden), qkv.dtype),
+            jax.ShapeDtypeStruct((batch, seq_len, hidden), qkv.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+    )(qkv, qkv, qkv, g, lse, delta, mask_in, rope_in)
+    return jnp.concatenate([dq, dk, dv], axis=-1)
+
+
 def _flash_backward_packed(
     qkv, num_heads, mask_arr, rope, out, lse, g, window, block_q, block_k
 ):
@@ -1562,6 +1814,13 @@ def _flash_backward_packed(
         .transpose(0, 2, 1)[..., None]
     )
     g = g.astype(qkv.dtype)
+
+    fused_sub = _fused_bwd_sub_blocks(seq_len, window)
+    if fused_sub is not None:
+        return _flash_backward_fused_packed(
+            qkv, num_heads, mask_in, rope_in, lse, delta, g, window,
+            fused_sub[0], fused_sub[1], has_mask, has_rope,
+        )
 
     # The statically-unrolled head loop (kj/qi-outer structure) keeps every
     # head's fp32 temporaries on the Mosaic stack at once — the default

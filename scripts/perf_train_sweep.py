@@ -37,6 +37,10 @@ def main() -> None:
     ap.add_argument("--grad-trainer-like", action="store_true",
                     help="grad with fp32 masters + in-graph bf16 cast + dropout "
                          "rng (the trainer's exact loss graph, no optimizer)")
+    ap.add_argument("--tl-deterministic", action="store_true",
+                    help="with --grad-trainer-like: keep fp32 masters + cast "
+                         "but run deterministic (no dropout rng) — isolates "
+                         "the cast cost from the dropout/RNG cost")
     ap.add_argument("--opt-step", action="store_true",
                     help="trainer-identical jitted step (grad + adafactor + "
                          "donation) driven with a pre-staged device batch — "
@@ -74,7 +78,10 @@ def main() -> None:
         "mode": (
             "fwd" if args.fwd_only
             else "grad" if args.grad_only
-            else "grad_trainer_like" if args.grad_trainer_like
+            else (
+                "grad_trainer_like_det" if args.tl_deterministic
+                else "grad_trainer_like"
+            ) if args.grad_trainer_like
             else "opt_step" if args.opt_step
             else "step"
         ),
@@ -130,6 +137,8 @@ def _bench_loss_graph(config, params, args):
         "pair_mask": jnp.ones((pairs,), jnp.float32),
     }
 
+    tl_dropout = trainer_like and not getattr(args, "tl_deterministic", False)
+
     def loss_fn(p, b, dropout_rng=None):
         if trainer_like:
             # the trainer's exact loss graph: fp32 masters cast in-graph,
@@ -141,9 +150,9 @@ def _bench_loss_graph(config, params, args):
             )
         out = module.apply(
             {"params": p}, b["input_ids"], b["attention_mask"],
-            deterministic=not trainer_like, attention_impl="auto",
+            deterministic=not tl_dropout, attention_impl="auto",
             remat=args.remat,
-            rngs={"dropout": dropout_rng} if trainer_like else None,
+            rngs={"dropout": dropout_rng} if tl_dropout else None,
         )
         loss, _ = joint_loss(out, b)
         return loss
