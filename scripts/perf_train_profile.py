@@ -96,10 +96,16 @@ def main() -> None:
     params, opt_state, m = jit_step(params, opt_state, batch, key)
     jax.device_get(m["loss"])
 
+    # Fetch OUTSIDE the trace window: a device_get inside it hits
+    # FAILED_PRECONDITION over the axon tunnel. The dispatched steps are
+    # serialized on-device, so the post-trace fetch still bounds them.
     with jax.profiler.trace(args.out):
         for _ in range(args.iters):
             params, opt_state, m = jit_step(params, opt_state, batch, key)
-        jax.device_get(m["loss"])
+        import time as _t
+
+        _t.sleep(float(args.iters) * 0.4)  # let device work land in the trace
+    jax.device_get(m["loss"])
 
     print("trace written to", args.out)
     for f in glob.glob(args.out + "/**/*.xplane.pb", recursive=True):
