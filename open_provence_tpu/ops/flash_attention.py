@@ -1544,9 +1544,9 @@ def _bwd_fused_kernel_packed(
     delta_ref,  # [1, h, S, 1] fp32
     mask_ref,  # [1, 1, S]
     rope_ref,  # [2, S, D]
-    dq_ref,  # [1, S, h·D]
-    dk_ref,  # [1, S, h·D]
-    dv_ref,  # [1, S, h·D]
+    out_ref,  # [1, S, h·D] — the dq/dk/dv lane region of ONE [B,S,3HD] buffer
+    dk_scratch,  # VMEM [S, h·D]
+    dv_scratch,  # VMEM [S, h·D]
     *,
     seq_len: int,
     sub_q: int,
@@ -1570,7 +1570,80 @@ def _bwd_fused_kernel_packed(
     Rope is applied ONCE per head to full-S q/k (the split kernels re-apply
     it per block iteration), at pair width (128 lanes) like the forward.
     Static sub-tiling (sub_q × sub_k) keeps fp32 temporaries bounded and
-    statically skips tiles outside a local layer's |i−j| ≤ window band."""
+    statically skips tiles outside a local layer's |i−j| ≤ window band.
+
+    The sequential 3-step `part` grid axis emits the cotangent PACKED:
+    part 0 computes everything, writes dq to its output block (the q lane
+    region of the single [B, S, 3·H·D] output) and parks dk/dv in VMEM
+    scratch; parts 1 and 2 flush the scratches to the k/v lane regions.
+    Replaces the XLA-level dq|dk|dv concatenate (0.39 ms/layer,
+    pad_maximum_fusion) but measured SLOWER overall (254.0 vs 239.3
+    ms/step at b64 — the sequential part axis stalls cross-step
+    pipelining more than the concat costs), so the 3-output variant is
+    the default and this one is gated behind
+    OPEN_PROVENCE_TPU_BWD_FUSED_PACKED_OUT=1."""
+    part = pl.program_id(2)
+
+    @pl.when(part == 1)
+    def _write_dk():
+        out_ref[0] = dk_scratch[...]
+
+    @pl.when(part == 2)
+    def _write_dv():
+        out_ref[0] = dv_scratch[...]
+
+    @pl.when(part == 0)
+    def _compute():
+        _bwd_fused_compute(
+            q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, mask_ref,
+            rope_ref,
+            lambda p, lanes, val: out_ref.__setitem__(
+                (0, slice(None), slice(p * lanes, (p + 1) * lanes)), val
+            ),
+            lambda p, lanes, val: dk_scratch.__setitem__(
+                (slice(None), slice(p * lanes, (p + 1) * lanes)), val
+            ),
+            lambda p, lanes, val: dv_scratch.__setitem__(
+                (slice(None), slice(p * lanes, (p + 1) * lanes)), val
+            ),
+            seq_len=seq_len, sub_q=sub_q, sub_k=sub_k, h_block=h_block,
+            head_dim=head_dim, window=window, scale=scale,
+            has_mask=has_mask, has_rope=has_rope,
+        )
+
+
+def _bwd_fused_kernel_3out(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, mask_ref, rope_ref,
+    dq_ref, dk_ref, dv_ref, *,
+    seq_len, sub_q, sub_k, h_block, head_dim, window, scale,
+    has_mask, has_rope,
+):
+    """Default fused one-pass backward: three [B, S, H·D] outputs, packed
+    back into d(qkv) by one XLA concatenate (see _bwd_fused_kernel_packed's
+    docstring for why the packed-output variant lost)."""
+    _bwd_fused_compute(
+        q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, mask_ref, rope_ref,
+        lambda p, lanes, val: dq_ref.__setitem__(
+            (0, slice(None), slice(p * lanes, (p + 1) * lanes)), val
+        ),
+        lambda p, lanes, val: dk_ref.__setitem__(
+            (0, slice(None), slice(p * lanes, (p + 1) * lanes)), val
+        ),
+        lambda p, lanes, val: dv_ref.__setitem__(
+            (0, slice(None), slice(p * lanes, (p + 1) * lanes)), val
+        ),
+        seq_len=seq_len, sub_q=sub_q, sub_k=sub_k, h_block=h_block,
+        head_dim=head_dim, window=window, scale=scale,
+        has_mask=has_mask, has_rope=has_rope,
+    )
+
+
+def _bwd_fused_compute(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, mask_ref, rope_ref,
+    write_dq, write_dk, write_dv, *,
+    seq_len, sub_q, sub_k, h_block, head_dim, window, scale,
+    has_mask, has_rope,
+):
     lanes = 2 * head_dim
     num_pairs = h_block // 2
     nq = seq_len // sub_q
@@ -1595,6 +1668,22 @@ def _bwd_fused_kernel_packed(
         else:
             dist = 0
         return dist <= window
+
+    # One shared additive bias per (qi, kj) tile, hoisted out of the head
+    # loops — per-head rebuilds were the measured ~40% bias-chain cost the
+    # split kernels already avoid.
+    biases: dict[tuple[int, int], jnp.ndarray | None] = {}
+    for qi in range(nq):
+        row_ids = (
+            jax.lax.broadcasted_iota(jnp.int32, (sub_q, sub_k), 0)
+            + qi * sub_q
+        )
+        for kj in range(nk):
+            if not tile_needed(qi, kj):
+                continue
+            biases[(qi, kj)] = _band_bias(
+                mask_ref, row_ids, kj * sub_k, sub_q, sub_k, window, has_mask
+            )
 
     for p in range(num_pairs):
         q_pair = q_ref[0, :, p * lanes:(p + 1) * lanes]
@@ -1629,17 +1718,10 @@ def _bwd_fused_kernel_packed(
                 do_i = do[qi * sub_q:(qi + 1) * sub_q]
                 lse_i = lse_h[qi * sub_q:(qi + 1) * sub_q]
                 delta_i = delta_h[qi * sub_q:(qi + 1) * sub_q]
-                row_ids = (
-                    jax.lax.broadcasted_iota(jnp.int32, (sub_q, sub_k), 0)
-                    + qi * sub_q
-                )
                 for kj in range(nk):
-                    if not tile_needed(qi, kj):
+                    if (qi, kj) not in biases:
                         continue
-                    bias = _band_bias(
-                        mask_ref, row_ids, kj * sub_k, sub_q, sub_k,
-                        window, has_mask,
-                    )
+                    bias = biases[(qi, kj)]
                     k_j = k[kj * sub_k:(kj + 1) * sub_k]
                     v_j = v[kj * sub_k:(kj + 1) * sub_k]
                     s = jax.lax.dot_general(
@@ -1683,11 +1765,9 @@ def _bwd_fused_kernel_packed(
         if has_rope:
             dq_p = _rope_adjoint_mx(dq_p, cos2, sin2, rot_pp)
             dk_p = _rope_adjoint_mx(dk_p, cos2, sin2, rot_pp)
-        dq_ref[0, :, p * lanes:(p + 1) * lanes] = dq_p
-        dk_ref[0, :, p * lanes:(p + 1) * lanes] = dk_p
-        dv_ref[0, :, p * lanes:(p + 1) * lanes] = jnp.concatenate(
-            dv_halves, axis=-1
-        )
+        write_dq(p, lanes, dq_p)
+        write_dk(p, lanes, dk_p)
+        write_dv(p, lanes, jnp.concatenate(dv_halves, axis=-1))
 
 
 def _fused_bwd_sub_blocks(
@@ -1745,18 +1825,6 @@ def _flash_backward_fused_packed(
             break
     groups = num_heads // h_block
     lane_blk = h_block * head_dim
-    q_spec = pl.BlockSpec((1, seq_len, lane_blk), lambda b, h: (b, 0, h))
-    k_spec = pl.BlockSpec(
-        (1, seq_len, lane_blk), lambda b, h: (b, 0, groups + h)
-    )
-    v_spec = pl.BlockSpec(
-        (1, seq_len, lane_blk), lambda b, h: (b, 0, 2 * groups + h)
-    )
-    g_spec = pl.BlockSpec((1, seq_len, lane_blk), lambda b, h: (b, 0, h))
-    row_spec = pl.BlockSpec((1, h_block, seq_len, 1), lambda b, h: (b, h, 0, 0))
-    mask_spec = pl.BlockSpec((1, 1, seq_len), lambda b, h: (b, 0, 0))
-    rope_spec = pl.BlockSpec((2, seq_len, head_dim), lambda b, h: (0, 0, 0))
-    out_spec = pl.BlockSpec((1, seq_len, lane_blk), lambda b, h: (b, 0, h))
     statics = dict(
         seq_len=seq_len,
         sub_q=sub_q,
@@ -1768,8 +1836,71 @@ def _flash_backward_fused_packed(
         has_mask=has_mask,
         has_rope=has_rope,
     )
+    packed_out = (
+        os.environ.get("OPEN_PROVENCE_TPU_BWD_FUSED_PACKED_OUT", "0") == "1"
+    )
+    if packed_out:
+        # Grid part axis (last, sequential): part 0 computes everything and
+        # writes dq; parts 1/2 flush the dk/dv VMEM scratches into the k/v
+        # lane regions of the SAME [B, S, 3·H·D] output. Measured slower
+        # than 3 outputs + XLA concat (see _bwd_fused_kernel_packed).
+        q_spec = pl.BlockSpec(
+            (1, seq_len, lane_blk), lambda b, h, p: (b, 0, h)
+        )
+        k_spec = pl.BlockSpec(
+            (1, seq_len, lane_blk), lambda b, h, p: (b, 0, groups + h)
+        )
+        v_spec = pl.BlockSpec(
+            (1, seq_len, lane_blk), lambda b, h, p: (b, 0, 2 * groups + h)
+        )
+        g_spec = pl.BlockSpec(
+            (1, seq_len, lane_blk), lambda b, h, p: (b, 0, h)
+        )
+        row_spec = pl.BlockSpec(
+            (1, h_block, seq_len, 1), lambda b, h, p: (b, h, 0, 0)
+        )
+        mask_spec = pl.BlockSpec((1, 1, seq_len), lambda b, h, p: (b, 0, 0))
+        rope_spec = pl.BlockSpec(
+            (2, seq_len, head_dim), lambda b, h, p: (0, 0, 0)
+        )
+        out_spec = pl.BlockSpec(
+            (1, seq_len, lane_blk), lambda b, h, p: (b, 0, p * groups + h)
+        )
+        return _pallas_call(
+            functools.partial(_bwd_fused_kernel_packed, **statics),
+            grid=(batch, groups, 3),
+            in_specs=[q_spec, k_spec, v_spec, g_spec, row_spec, row_spec,
+                      mask_spec, rope_spec],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (batch, seq_len, 3 * hidden), qkv.dtype
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((seq_len, lane_blk), qkv.dtype),
+                pltpu.VMEM((seq_len, lane_blk), qkv.dtype),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+                vmem_limit_bytes=64 * 1024 * 1024,
+            ),
+        )(qkv, qkv, qkv, g, lse, delta, mask_in, rope_in)
+
+    q_spec = pl.BlockSpec((1, seq_len, lane_blk), lambda b, h: (b, 0, h))
+    k_spec = pl.BlockSpec(
+        (1, seq_len, lane_blk), lambda b, h: (b, 0, groups + h)
+    )
+    v_spec = pl.BlockSpec(
+        (1, seq_len, lane_blk), lambda b, h: (b, 0, 2 * groups + h)
+    )
+    g_spec = pl.BlockSpec((1, seq_len, lane_blk), lambda b, h: (b, 0, h))
+    row_spec = pl.BlockSpec(
+        (1, h_block, seq_len, 1), lambda b, h: (b, h, 0, 0)
+    )
+    mask_spec = pl.BlockSpec((1, 1, seq_len), lambda b, h: (b, 0, 0))
+    rope_spec = pl.BlockSpec((2, seq_len, head_dim), lambda b, h: (0, 0, 0))
+    out_spec = pl.BlockSpec((1, seq_len, lane_blk), lambda b, h: (b, 0, h))
     dq, dk, dv = _pallas_call(
-        functools.partial(_bwd_fused_kernel_packed, **statics),
+        functools.partial(_bwd_fused_kernel_3out, **statics),
         grid=(batch, groups),
         in_specs=[q_spec, k_spec, v_spec, g_spec, row_spec, row_spec,
                   mask_spec, rope_spec],
