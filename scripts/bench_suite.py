@@ -170,6 +170,10 @@ def main() -> None:
                         help="Also time the full train step (fwd+bwd+optimizer).")
     parser.add_argument("--only-process", action="store_true",
                         help="Run just the process() e2e bench and merge it into --out.")
+    parser.add_argument("--families", action="store_true",
+                        help="Also bench the xsmall (30M) and large (310M) "
+                             "checkpoint-family scales (forward + train step), "
+                             "merged into --out.")
     args = parser.parse_args()
 
     import jax
@@ -245,6 +249,55 @@ def main() -> None:
         if best is not None:
             results["train_step"] = best
             print(json.dumps({"train_step": best}), flush=True)
+
+    if args.families and not args.only_process:
+        # Public backbone dims of the reference's published checkpoint
+        # families (reference README.md:28-33): xsmall = the 30M
+        # modernbert-ja backbone (hidden 256, 10 layers, 4 heads),
+        # large = the 310M backbone (hidden 768, 25 layers, 12 heads,
+        # intermediate 3072). Vocab matters only for init cost here.
+        fam_specs = {
+            "xsmall": dict(hidden_size=256, intermediate_size=1024,
+                           num_hidden_layers=10, num_attention_heads=4),
+            "large": dict(hidden_size=768, intermediate_size=3072,
+                          num_hidden_layers=25, num_attention_heads=12),
+        }
+        for fam, dims in fam_specs.items():
+            fam_backbone = op.ModernBertBackboneConfig(num_labels=1, **dims)
+            fam_config = op.OpenProvenceConfig(
+                base_model_config=fam_backbone.to_dict(),
+                num_labels=1,
+                pruning_config={
+                    "hidden_size": dims["hidden_size"],
+                    "classifier_dropout": 0.0,
+                },
+                max_length=512,
+            )
+            fam_module = build_module(fam_config)
+            fam_params_fp32 = fam_module.init(
+                jax.random.PRNGKey(0),
+                np.zeros((1, 8), dtype=np.int32),
+                np.ones((1, 8), dtype=np.int32),
+                attention_impl="xla",
+            )["params"]
+            fam_params = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                fam_params_fp32,
+            )
+            entry = bench_forward(fam_module, fam_params, 32, 512)
+            results[f"forward_{fam}"] = entry
+            print(json.dumps({f"forward_{fam}": entry}), flush=True)
+            try:
+                entry = bench_train_step(
+                    fam_config, fam_params_fp32, pairs=64, iters=8,
+                    remat=False,
+                )
+            except Exception as exc:
+                message = re.sub(r"\x1b\[[0-9;]*m", "", str(exc))
+                entry = {"error": message.splitlines()[0][:160]}
+            results[f"train_step_{fam}"] = entry
+            print(json.dumps({f"train_step_{fam}": entry}), flush=True)
 
     if not args.skip_process:
         sys.path.insert(0, str(REPO_ROOT / "scripts"))
