@@ -231,6 +231,48 @@ def test_packed_gradient(bwd_impl, padded, monkeypatch):
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.parametrize("window", [None, 32])
+@pytest.mark.parametrize("subs", ["64,64", "128,64", "64,128"])
+def test_fused_backward_subtiles(window, subs, monkeypatch):
+    """The fused one-pass backward with sub-tiles smaller than S: exercises
+    multi-tile dq/dk/dv accumulation and (for windowed layers) the static
+    band-skip of out-of-band tiles — the exact code path the
+    OPEN_PROVENCE_TPU_BWD_FUSED_SUB sweep tunes."""
+    monkeypatch.setenv("OPEN_PROVENCE_TPU_BWD_FUSED_SUB", subs)
+    from open_provence_tpu.ops.flash_attention import (
+        _fused_bwd_sub_blocks,
+        _xla_reference_packed,
+        flash_attention_packed,
+    )
+    from open_provence_tpu.ops.rotary import rope_tables
+
+    B, S, H, D = 2, 256, 4, 64
+    sub = _fused_bwd_sub_blocks(S, window)
+    assert sub == tuple(int(x) for x in subs.split(","))
+    qkv = _rand_packed(B, S, H, D, seed=11)
+    cos, sin = rope_tables(S, D, 160000.0)
+    rope_arr = jnp.stack([cos.astype(qkv.dtype), sin.astype(qkv.dtype)])
+    m = np.ones((B, S), np.int32)
+    m[0, 190:] = 0
+    pm = jnp.asarray(m)
+    row_weight = pm[:, :, None].astype(jnp.float32)
+
+    def loss_flash(x):
+        out = flash_attention_packed(
+            x, num_heads=H, padding_mask=pm, window=window, rope=(cos, sin)
+        )
+        return ((out.astype(jnp.float32) * row_weight) ** 2).sum()
+
+    def loss_ref(x):
+        out = _xla_reference_packed(x, H, pm, rope_arr, window)
+        return ((out.astype(jnp.float32) * row_weight) ** 2).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        g1 = jax.grad(loss_flash)(qkv)
+    g2 = jax.grad(loss_ref)(qkv)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4, rtol=1e-4)
+
+
 def test_packed_band_table_multi_offset():
     """Sliding window with several k-blocks per q-block: exercises the
     block-Toeplitz band-bias table (n_off > 1) and band skipping."""
