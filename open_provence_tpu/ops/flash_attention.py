@@ -1612,6 +1612,39 @@ def _bwd_fused_kernel_packed(
         )
 
 
+def _bwd_fused_kernel_1out(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, mask_ref, rope_ref,
+    out_ref, *,
+    hidden, seq_len, sub_q, sub_k, h_block, head_dim, window, scale,
+    has_mask, has_rope,
+):
+    """Single-output fused backward for the groups==1 case (every head in
+    one VMEM-resident group): the whole [1, S, 3·H·D] cotangent is ONE
+    contiguous output block, so dq/dk/dv land in their lane regions
+    directly — no XLA concatenate (3-output variant) and no sequential
+    3-step part axis (the packed-out variant's stall). Needs sub tiles
+    ≤256 so all heads' fp32 temporaries fit VMEM."""
+    _bwd_fused_compute(
+        q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, mask_ref, rope_ref,
+        lambda p, lanes, val: out_ref.__setitem__(
+            (0, slice(None), slice(p * lanes, (p + 1) * lanes)), val
+        ),
+        lambda p, lanes, val: out_ref.__setitem__(
+            (0, slice(None),
+             slice(hidden + p * lanes, hidden + (p + 1) * lanes)),
+            val,
+        ),
+        lambda p, lanes, val: out_ref.__setitem__(
+            (0, slice(None),
+             slice(2 * hidden + p * lanes, 2 * hidden + (p + 1) * lanes)),
+            val,
+        ),
+        seq_len=seq_len, sub_q=sub_q, sub_k=sub_k, h_block=h_block,
+        head_dim=head_dim, window=window, scale=scale,
+        has_mask=has_mask, has_rope=has_rope,
+    )
+
+
 def _bwd_fused_kernel_3out(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, mask_ref, rope_ref,
     dq_ref, dk_ref, dv_ref, *,
@@ -1836,6 +1869,57 @@ def _flash_backward_fused_packed(
         has_mask=has_mask,
         has_rope=has_rope,
     )
+    if os.environ.get("OPEN_PROVENCE_TPU_BWD_FUSED_ONEOUT", "0") == "1":
+        # Single-group single-output variant: all heads resident at once,
+        # d(qkv) written as one contiguous [1, S, 3·H·D] block. Shrink the
+        # sub tiles so every head's fp32 temporaries fit (sub 512 tiles at
+        # 12 heads would need ~67 MB; 256 tiles fit in ~35 MB).
+        sub_q_1, sub_k_1 = min(sub_q, 256), min(sub_k, 256)
+        per_head_1 = (
+            4 * 2 * seq_len * head_dim * itemsize
+            + 3 * seq_len * head_dim * 4
+            + 4 * sub_q_1 * sub_k_1 * 4
+            + 2 * 2 * seq_len * 128 * 4
+        )
+        fits = num_heads * per_head_1 + 4 * seq_len * 3 * hidden * itemsize
+        if fits <= 56 * 1024 * 1024:
+            statics_1 = dict(
+                statics, sub_q=sub_q_1, sub_k=sub_k_1, h_block=num_heads
+            )
+            full_spec = pl.BlockSpec(
+                (1, seq_len, hidden), lambda b: (b, 0, 0)
+            )
+            return _pallas_call(
+                functools.partial(
+                    _bwd_fused_kernel_1out, hidden=hidden, **statics_1
+                ),
+                grid=(batch,),
+                in_specs=[
+                    full_spec,
+                    pl.BlockSpec((1, seq_len, hidden), lambda b: (b, 0, 1)),
+                    pl.BlockSpec((1, seq_len, hidden), lambda b: (b, 0, 2)),
+                    full_spec,
+                    pl.BlockSpec(
+                        (1, num_heads, seq_len, 1), lambda b: (b, 0, 0, 0)
+                    ),
+                    pl.BlockSpec(
+                        (1, num_heads, seq_len, 1), lambda b: (b, 0, 0, 0)
+                    ),
+                    pl.BlockSpec((1, 1, seq_len), lambda b: (b, 0, 0)),
+                    pl.BlockSpec((2, seq_len, head_dim), lambda b: (0, 0, 0)),
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, seq_len, 3 * hidden), lambda b: (b, 0, 0)
+                ),
+                out_shape=jax.ShapeDtypeStruct(
+                    (batch, seq_len, 3 * hidden), qkv.dtype
+                ),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel",),
+                    vmem_limit_bytes=64 * 1024 * 1024,
+                ),
+            )(qkv, qkv, qkv, g, lse, delta, mask_in, rope_in)
+
     packed_out = (
         os.environ.get("OPEN_PROVENCE_TPU_BWD_FUSED_PACKED_OUT", "0") == "1"
     )

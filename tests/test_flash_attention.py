@@ -231,14 +231,17 @@ def test_packed_gradient(bwd_impl, padded, monkeypatch):
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.parametrize("oneout", [False, True])
 @pytest.mark.parametrize("window", [None, 32])
 @pytest.mark.parametrize("subs", ["64,64", "128,64", "64,128"])
-def test_fused_backward_subtiles(window, subs, monkeypatch):
+def test_fused_backward_subtiles(window, subs, oneout, monkeypatch):
     """The fused one-pass backward with sub-tiles smaller than S: exercises
     multi-tile dq/dk/dv accumulation and (for windowed layers) the static
     band-skip of out-of-band tiles — the exact code path the
     OPEN_PROVENCE_TPU_BWD_FUSED_SUB sweep tunes."""
     monkeypatch.setenv("OPEN_PROVENCE_TPU_BWD_FUSED_SUB", subs)
+    if oneout:
+        monkeypatch.setenv("OPEN_PROVENCE_TPU_BWD_FUSED_ONEOUT", "1")
     from open_provence_tpu.ops.flash_attention import (
         _fused_bwd_sub_blocks,
         _xla_reference_packed,
