@@ -1871,18 +1871,34 @@ def _flash_backward_fused_packed(
     )
     if os.environ.get("OPEN_PROVENCE_TPU_BWD_FUSED_ONEOUT", "0") == "1":
         # Single-group single-output variant: all heads resident at once,
-        # d(qkv) written as one contiguous [1, S, 3·H·D] block. Shrink the
-        # sub tiles so every head's fp32 temporaries fit (sub 512 tiles at
-        # 12 heads would need ~67 MB; 256 tiles fit in ~35 MB).
-        sub_q_1, sub_k_1 = min(sub_q, 256), min(sub_k, 256)
-        per_head_1 = (
-            4 * 2 * seq_len * head_dim * itemsize
-            + 3 * seq_len * head_dim * 4
-            + 4 * sub_q_1 * sub_k_1 * 4
-            + 2 * 2 * seq_len * 128 * 4
-        )
-        fits = num_heads * per_head_1 + 4 * seq_len * 3 * hidden * itemsize
-        if fits <= 56 * 1024 * 1024:
+        # d(qkv) written as one contiguous [1, S, 3·H·D] block. Pick the
+        # largest sub tiles whose fp32 temporaries fit with every head
+        # resident (512×512 at 12 heads needs ~67 MB — too big; 512×256
+        # ~47 MB fits, and the 3-output sweep showed sub_k=256 costs
+        # nothing while sub_q<512 costs ~1.5%).
+        def _fits(sq, sk):
+            per_head_1 = (
+                4 * 2 * seq_len * head_dim * itemsize
+                + 3 * seq_len * head_dim * 4
+                + 4 * sq * sk * 4
+                + 2 * 2 * seq_len * 128 * 4
+            )
+            total = (
+                num_heads * per_head_1
+                + 4 * seq_len * 3 * hidden * itemsize
+            )
+            return total <= 56 * 1024 * 1024
+
+        sub_q_1 = sub_k_1 = None
+        for sq, sk in (
+            (sub_q, sub_k),
+            (sub_q, min(sub_k, 256)),
+            (min(sub_q, 256), min(sub_k, 256)),
+        ):
+            if seq_len % sq == 0 and seq_len % sk == 0 and _fits(sq, sk):
+                sub_q_1, sub_k_1 = sq, sk
+                break
+        if sub_q_1 is not None:
             statics_1 = dict(
                 statics, sub_q=sub_q_1, sub_k=sub_k_1, h_block=num_heads
             )
