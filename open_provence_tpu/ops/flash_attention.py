@@ -1622,8 +1622,12 @@ def _bwd_fused_kernel_1out(
     one VMEM-resident group): the whole [1, S, 3·H·D] cotangent is ONE
     contiguous output block, so dq/dk/dv land in their lane regions
     directly — no XLA concatenate (3-output variant) and no sequential
-    3-step part axis (the packed-out variant's stall). Needs sub tiles
-    ≤256 so all heads' fp32 temporaries fit VMEM."""
+    3-step part axis (the packed-out variant's stall). Needs a sub tile
+    axis ≤256 so all heads' fp32 temporaries fit VMEM; at base dims the
+    dispatcher picks (512, 256), which timed even with (512, 512) in the
+    3-output sweep. DEFAULT ON: 230.1 ms/step vs 239.0 for 3-out+concat
+    at b64 S512 (278 vs 268 pairs/s); OPEN_PROVENCE_TPU_BWD_FUSED_ONEOUT=0
+    reverts."""
     _bwd_fused_compute(
         q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, mask_ref, rope_ref,
         lambda p, lanes, val: out_ref.__setitem__(
@@ -1869,7 +1873,7 @@ def _flash_backward_fused_packed(
         has_mask=has_mask,
         has_rope=has_rope,
     )
-    if os.environ.get("OPEN_PROVENCE_TPU_BWD_FUSED_ONEOUT", "0") == "1":
+    if os.environ.get("OPEN_PROVENCE_TPU_BWD_FUSED_ONEOUT", "1") != "0":
         # Single-group single-output variant: all heads resident at once,
         # d(qkv) written as one contiguous [1, S, 3·H·D] block. Pick the
         # largest sub tiles whose fp32 temporaries fit with every head

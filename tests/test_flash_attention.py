@@ -240,8 +240,9 @@ def test_fused_backward_subtiles(window, subs, oneout, monkeypatch):
     band-skip of out-of-band tiles — the exact code path the
     OPEN_PROVENCE_TPU_BWD_FUSED_SUB sweep tunes."""
     monkeypatch.setenv("OPEN_PROVENCE_TPU_BWD_FUSED_SUB", subs)
-    if oneout:
-        monkeypatch.setenv("OPEN_PROVENCE_TPU_BWD_FUSED_ONEOUT", "1")
+    monkeypatch.setenv(
+        "OPEN_PROVENCE_TPU_BWD_FUSED_ONEOUT", "1" if oneout else "0"
+    )
     from open_provence_tpu.ops.flash_attention import (
         _fused_bwd_sub_blocks,
         _xla_reference_packed,
