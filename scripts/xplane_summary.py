@@ -46,9 +46,13 @@ def main() -> None:
         # group fusions by their root op name
         grouped = collections.Counter()
         for (lname, name), ps in per_op.items():
-            if "XLA Ops" not in lname and "Steps" not in lname:
+            # exact match: "Async XLA Ops" events overlap compute and would
+            # drown the critical-path ranking
+            if lname != "XLA Ops":
                 continue
-            root = re.sub(r"\.\d+$", "", name)
+            # "%mlp.70 = (...) custom-call(...)" → family "mlp"
+            sym = name.split(" = ")[0].strip().lstrip("%")
+            root = re.sub(r"\.\d+$", "", sym)
             grouped[(lname, root)] += ps
         print(f"-- top {top_n} ops --")
         for (lname, name), ps in grouped.most_common(top_n):
