@@ -85,6 +85,7 @@ def main() -> None:
         pump.join(timeout=10)
         payload = _last_json_line(out_lines)
         if payload is not None:
+            payload["elapsed_s"] = round(time.monotonic() - start, 1)
             print(json.dumps(payload), flush=True)
             return
         _emit_failure(
@@ -141,6 +142,8 @@ def _emit_failure(status_path: str, reason: str, elapsed: float, **extra) -> Non
         payload["vs_baseline"] = round(status["value"] / BASELINE_PAIRS_PER_SEC, 3)
         del payload["error"]
         payload["partial"] = error
+    if "e2e_pairs_per_sec" in status:
+        payload["e2e_pairs_per_sec"] = status["e2e_pairs_per_sec"]
     payload.update({k: v for k, v in extra.items() if v})
     print(json.dumps(payload), flush=True)
 
@@ -315,6 +318,7 @@ def _child(status_path: str) -> None:
     e2e, e2e_error = _process_e2e_pairs_per_sec()
     if e2e is not None:
         payload["e2e_pairs_per_sec"] = round(e2e, 1)
+        status.update("e2e_done", value=payload["value"], e2e_pairs_per_sec=payload["e2e_pairs_per_sec"])
     elif e2e_error:
         payload["e2e_error"] = e2e_error
     status.update("done", value=payload["value"])

@@ -42,37 +42,37 @@ def frequency_filter_train(
     """Keep a row only when at most ``threshold`` of its texts were already
     seen in kept rows (reference frequency_filter_ds.py:114-199)."""
     if threshold < 0:
-        raise ValueError("Threshold must be non-negative.")
+        raise ValueError(f"threshold must be >= 0, got {threshold}")
 
-    global_counter: Counter[str] = Counter()
-    seen_counter: Counter[str] = Counter()
+    all_fingerprints: Counter[str] = Counter()
+    kept_fingerprints: Counter[str] = Counter()
     bucket_total: Counter[int] = Counter()
     bucket_kept: Counter[int] = Counter()
     bucket_removed: Counter[int] = Counter()
-    drop_ids: set[str] = set()
+    dropped: set[str] = set()
 
     for row_idx, row in enumerate(dataset):
-        texts = list(row[texts_column])
-        md5_list = [hashlib.md5(str(t).encode("utf-8")).hexdigest() for t in texts]
-        for md5 in md5_list:
-            global_counter[md5] += 1
-        dup_count = sum(1 for md5 in md5_list if seen_counter[md5] > 0)
-        bucket_total[dup_count] += 1
-        if dup_count > threshold:
-            drop_ids.add(str(row.get(id_column, row_idx)))
-            bucket_removed[dup_count] += 1
-            continue
-        bucket_kept[dup_count] += 1
-        for md5 in md5_list:
-            seen_counter[md5] += 1
+        fingerprints = [
+            hashlib.md5(str(text).encode("utf-8")).hexdigest()
+            for text in row[texts_column]
+        ]
+        all_fingerprints.update(fingerprints)
+        n_repeats = sum(kept_fingerprints[fp] > 0 for fp in fingerprints)
+        bucket_total[n_repeats] += 1
+        if n_repeats > threshold:
+            dropped.add(str(row.get(id_column, row_idx)))
+            bucket_removed[n_repeats] += 1
+        else:
+            bucket_kept[n_repeats] += 1
+            kept_fingerprints.update(fingerprints)
 
     filtered = dataset.filter(
-        lambda row, idx: str(row.get(id_column, idx)) not in drop_ids,
+        lambda row, idx: str(row.get(id_column, idx)) not in dropped,
         with_indices=True,
     )
 
-    texts_total = sum(global_counter.values())
-    texts_unique = len(global_counter)
+    texts_total = sum(all_fingerprints.values())
+    texts_unique = len(all_fingerprints)
     stats = DuplicateStats(
         rows_total=len(dataset),
         rows_kept=len(filtered),
@@ -85,4 +85,4 @@ def frequency_filter_train(
         duplicate_buckets_kept=dict(bucket_kept),
         duplicate_buckets_removed=dict(bucket_removed),
     )
-    return filtered, stats, drop_ids
+    return filtered, stats, dropped

@@ -38,50 +38,54 @@ def prepare_naver_provence_model(
     max_length: int | None = None,
     disable_progress: bool = False,
 ) -> Callable[..., dict[str, Any]]:
-    """Wrap a loaded naver-provence torch model into a ``process()`` callable
-    (reference eval_mldr.py:75-125):
+    """Adapt a loaded naver-provence torch model into a ``process()`` callable
+    usable by the MLDR harness (behavioral counterpart of reference
+    eval_mldr.py:75-125; the *patch points* below are dictated by the
+    checkpoint's remote code, not chosen here):
 
-    * bf16 ``ranking_scores`` / ``compression_logits`` forward outputs are
-      upcast to fp32 (the remote code breaks on bf16 numpy conversion),
-    * ``max_length`` propagates to ``model.max_len`` and the config,
-    * the remote module's tqdm is no-op'd when progress is disabled.
+    * the remote ``process()`` converts forward outputs straight to numpy,
+      which raises on bfloat16 — we shadow ``forward`` at the instance level
+      and promote every half-precision tensor in its output mapping to fp32
+      (covers ``ranking_scores`` and ``compression_logits``, the two fields
+      the remote code touches);
+    * a requested ``max_length`` must land on BOTH ``model.max_len`` (read by
+      the remote tokenization loop) and
+      ``config.max_position_embeddings`` (read when building position ids);
+    * the remote module iterates batches under its own module-level ``tqdm``
+      symbol, so silencing progress means replacing that symbol.
     """
     import torch
 
-    original_forward = type(model).forward
+    unpatched_forward = model.forward
 
-    def forward_with_cast(self, *args: Any, **kwargs: Any):
-        output = original_forward(self, *args, **kwargs)
-        for key in ("ranking_scores", "compression_logits"):
-            try:
-                value = output[key]
-            except (KeyError, TypeError):
-                continue
-            if isinstance(value, torch.Tensor) and value.dtype == torch.bfloat16:
-                output[key] = value.to(dtype=torch.float32)
-        return output
+    def _promoting_forward(*args: Any, **kwargs: Any):
+        out = unpatched_forward(*args, **kwargs)
+        if hasattr(out, "keys"):
+            for name in list(out.keys()):
+                value = out[name]
+                if torch.is_tensor(value) and value.dtype == torch.bfloat16:
+                    out[name] = value.float()
+        return out
 
-    model.forward = forward_with_cast.__get__(model, type(model))
+    model.forward = _promoting_forward
 
     if max_length is not None:
         if hasattr(model, "max_len"):
             model.max_len = max_length
-        if hasattr(getattr(model, "config", None), "max_position_embeddings"):
-            model.config.max_position_embeddings = max_length
+        config = getattr(model, "config", None)
+        if config is not None and hasattr(config, "max_position_embeddings"):
+            config.max_position_embeddings = max_length
 
     if disable_progress:
-        module = sys.modules.get(model.__class__.__module__)
-
-        def _noop_tqdm(iterable, *args: Any, **kwargs: Any):
-            return iterable
-
-        if module is not None and hasattr(module, "tqdm"):
-            setattr(module, "tqdm", _noop_tqdm)
+        remote_module = sys.modules.get(type(model).__module__)
+        if remote_module is not None and hasattr(remote_module, "tqdm"):
+            remote_module.tqdm = lambda iterable, *a, **k: iterable
 
     process_fn = getattr(model, "process", None)
     if not callable(process_fn):
         raise AttributeError(
-            "Loaded Naver Provence model does not expose a callable 'process'."
+            "naver-provence remote code exposes no callable `process` method; "
+            "cannot adapt it for the MLDR harness"
         )
     return process_fn
 

