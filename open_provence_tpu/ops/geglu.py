@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -277,7 +278,6 @@ def _ln_geglu_bwd(activation, eps, residuals, g):
     m, k = x2d.shape
     intermediate = wi.shape[1] // 2
     itemsize = jnp.dtype(x2d.dtype).itemsize
-    import os
 
     if (
         os.environ.get("OPEN_PROVENCE_TPU_FUSED_GEGLU_BWD", "1") != "0"
@@ -331,9 +331,14 @@ _KERNEL_ACTIVATION_GRADS = {
 
 def _pick_block_m_bwd(m: int, k: int, intermediate: int, itemsize: int) -> int | None:
     """Row tile for the backward kernel: weights + two fp32 dW accumulators
-    stay resident; x/g/dx tiles and the fp32 intermediates are per-tile."""
+    stay resident; x/g/dx tiles and the fp32 intermediates are per-tile.
+    ``OPEN_PROVENCE_TPU_GEGLU_BWD_BM`` overrides the tile for sweeps."""
     if k % 128 != 0 or intermediate % 64 != 0:
         return None
+    env_bm = os.environ.get("OPEN_PROVENCE_TPU_GEGLU_BWD_BM")
+    if env_bm:
+        bm = int(env_bm)
+        return bm if m % bm == 0 else None
     resident = 2 * k * intermediate * itemsize + 2 * k * intermediate * 4
     for bm in (256, 128):
         if m % bm != 0:
@@ -654,7 +659,6 @@ def _ln_matmul_bwd_pallas(x2d, ln_scale, w, g, eps):
 
 def _ln_matmul_bwd(eps, residuals, g):
     x2d, ln_scale, w = residuals
-    import os
 
     m, k = x2d.shape
     if (

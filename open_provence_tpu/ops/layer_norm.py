@@ -9,18 +9,24 @@ B=32, S=512 on v5e, ~4x the pure-bandwidth cost. This kernel does one pass:
 read bf16, fp32 rowwise stats in VMEM, scale, write bf16.
 
 The op carries a custom_vjp (Pallas forwards are not differentiable
-otherwise); the backward uses the standard LN adjoint in plain XLA ops,
-recomputing stats from the saved input — under ``nn.remat`` everything is
-recomputed anyway, so saving more residuals would only cost HBM.
+otherwise); the backward recomputes stats from the saved input — under
+``nn.remat`` everything is recomputed anyway, so saving more residuals
+would only cost HBM. On TPU the adjoint runs as a one-pass Pallas kernel
+(dx + accumulated dscale per tile, residual-stream cotangent folded in for
+the add+LN form); ``OPEN_PROVENCE_TPU_FUSED_LN_BWD=0`` falls back to the
+plain-XLA adjoint. Whole-step throughput is identical either way at b64
+S512 (see _ln_bwd_kernel docstring).
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from .attention import pallas_call as _pallas_call
 
@@ -61,7 +67,7 @@ def _ln_fwd(x2d, scale, eps):
     return _ln_forward(x2d, scale, eps), (x2d, scale)
 
 
-def _ln_bwd(eps, residuals, g):
+def _ln_bwd_xla(eps, residuals, g):
     x2d, scale = residuals
     x = x2d.astype(jnp.float32)
     g = g.astype(jnp.float32)
@@ -80,6 +86,99 @@ def _ln_bwd(eps, residuals, g):
     )
     dscale = (g * y).sum(axis=0)
     return dx.astype(x2d.dtype), dscale.astype(scale.dtype)
+
+
+def _ln_bwd_kernel(
+    x_ref, g_ref, w_ref, *tail, eps: float, num_tiles: int, add_grad: bool
+):
+    """LN adjoint, one row tile per grid step: recompute fp32 stats in VMEM,
+    write dx (optionally + an extra cotangent — the residual-stream gradient
+    that _add_ln_bwd would otherwise add in a separate XLA pass), accumulate
+    dscale in a VMEM scratch flushed on the last tile.
+
+    The XLA adjoint materializes the fp32 [rows, hidden] intermediates and
+    its dscale row-sum relayouts them ({2,1,0} -> {1,2,0} copies, ~0.13 ms
+    x22 layers at b64 S512 in the profile) — one pass here keeps everything
+    tile-local. Whole-step A/B on v5e (r5, consecutive fresh jits, b64
+    S512): NEUTRAL — 227.3/227.9 ms vs 227.5 ms XLA; the relayout copies
+    evidently overlap with compute. Kept (default on) because it also
+    absorbs the residual-stream add of _add_ln_bwd into the same pass and
+    parity is kernel-tested; OPEN_PROVENCE_TPU_FUSED_LN_BWD=0 reverts."""
+    if add_grad:
+        gh_ref, dx_ref, dscale_ref, ds_acc = tail
+    else:
+        gh_ref = None
+        dx_ref, dscale_ref, ds_acc = tail
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        ds_acc[...] = jnp.zeros_like(ds_acc)
+
+    x = x_ref[...].astype(jnp.float32)
+    g = g_ref[...].astype(jnp.float32)
+    w = w_ref[...].astype(jnp.float32)  # [1, hidden]
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    mean2 = jnp.mean(x * x, axis=-1, keepdims=True)
+    var = jnp.maximum(mean2 - mean * mean, 0.0)
+    rstd = jax.lax.rsqrt(var + eps)
+    y = (x - mean) * rstd
+    gw = g * w
+    dx = rstd * (
+        gw
+        - jnp.mean(gw, axis=-1, keepdims=True)
+        - y * jnp.mean(gw * y, axis=-1, keepdims=True)
+    )
+    ds_acc[...] += jnp.sum(g * y, axis=0, keepdims=True)
+    if add_grad:
+        dx = dx + gh_ref[...].astype(jnp.float32)
+    dx_ref[...] = dx.astype(dx_ref.dtype)
+
+    @pl.when(i == num_tiles - 1)
+    def _finalize():
+        dscale_ref[...] = ds_acc[...].astype(dscale_ref.dtype)
+
+
+def _ln_bwd_pallas(eps, x2d, scale, g, gh=None):
+    rows, hidden = x2d.shape
+    row_block = _ROW_BLOCK if rows % _ROW_BLOCK == 0 else rows
+    num_tiles = rows // row_block
+    tile_spec = pl.BlockSpec((row_block, hidden), lambda i: (i, 0))
+    scale_spec = pl.BlockSpec((1, hidden), lambda i: (0, 0))
+    inputs = [x2d, g] + ([gh] if gh is not None else [])
+    dx, dscale = _pallas_call(
+        functools.partial(
+            _ln_bwd_kernel,
+            eps=eps, num_tiles=num_tiles, add_grad=gh is not None,
+        ),
+        grid=(num_tiles,),
+        in_specs=[tile_spec, tile_spec, scale_spec]
+        + ([tile_spec] if gh is not None else []),
+        out_specs=[tile_spec, scale_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, hidden), x2d.dtype),
+            jax.ShapeDtypeStruct((1, hidden), scale.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((1, hidden), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(x2d, g, scale.reshape(1, hidden), *([gh] if gh is not None else []))
+    return dx, dscale.reshape(scale.shape)
+
+
+def _use_ln_bwd_pallas(x2d) -> bool:
+    return (
+        os.environ.get("OPEN_PROVENCE_TPU_FUSED_LN_BWD", "1") != "0"
+        and pallas_layer_norm_supported(x2d.shape)
+    )
+
+
+def _ln_bwd(eps, residuals, g):
+    x2d, scale = residuals
+    if _use_ln_bwd_pallas(x2d):
+        return _ln_bwd_pallas(eps, x2d, scale, g)
+    return _ln_bwd_xla(eps, residuals, g)
 
 
 _ln_core.defvjp(_ln_fwd, _ln_bwd)
@@ -178,7 +277,12 @@ def _add_ln_fwd(x2d, y2d, scale, eps):
 def _add_ln_bwd(eps, residuals, gs):
     h2d, scale = residuals
     gh, gn = gs  # cotangents of (h, normed)
-    dxn, dscale = _ln_bwd(eps, (h2d, scale), gn)
+    if _use_ln_bwd_pallas(h2d):
+        # The residual-stream cotangent adds inside the kernel (fp32, before
+        # the bf16 round) — one pass instead of LN-adjoint + separate add.
+        dh, dscale = _ln_bwd_pallas(eps, h2d, scale, gn, gh=gh)
+        return dh, dh, dscale
+    dxn, dscale = _ln_bwd_xla(eps, (h2d, scale), gn)
     dh = (dxn.astype(jnp.float32) + gh.astype(jnp.float32)).astype(h2d.dtype)
     return dh, dh, dscale
 

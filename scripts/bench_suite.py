@@ -305,11 +305,20 @@ def main() -> None:
             entry = bench_forward(fam_module, fam_params, 32, 512)
             results[f"forward_{fam}"] = entry
             print(json.dumps({f"forward_{fam}": entry}), flush=True)
+            # large's b64 single-microbatch graph crashes the axon remote
+            # compile helper (host-side HTTP 500 in every kernel variant,
+            # including all-pallas-off — measured r5), while b32 compiles
+            # and runs at FLOP-scaling parity with base. Two scanned b32
+            # microbatches in one dispatch keep the effective batch at 64
+            # with a graph the helper accepts.
+            fam_accum = 2 if fam == "large" else 1
             try:
                 entry = bench_train_step(
                     fam_config, fam_params_fp32, pairs=64, iters=8,
-                    remat=False,
+                    remat=False, accum=fam_accum,
                 )
+                if fam_accum > 1:
+                    entry["accum"] = fam_accum
             except Exception as exc:
                 message = re.sub(r"\x1b\[[0-9;]*m", "", str(exc))
                 entry = {"error": message.splitlines()[0][:160]}
