@@ -689,8 +689,11 @@ def _flash_backward(q, k, v, mask_arr, rope, out, lse, g, window, block_q, block
         else jnp.zeros((2, seq_len, head_dim), dtype=q.dtype)
     )
     # [B,H,S,1] — trailing singleton keeps the Pallas block dims legal.
-    delta = (g.astype(jnp.float32) * out.astype(jnp.float32)).sum(-1, keepdims=True)
+    # dO casts to the kernel dtype BEFORE the delta reduce (same reasoning
+    # as _flash_backward_packed: self-consistent with the kernel's dp and
+    # avoids a full fp32 dO materialization upstream).
     g = g.astype(q.dtype)
+    delta = (g.astype(jnp.float32) * out.astype(jnp.float32)).sum(-1, keepdims=True)
 
     # The dkv kernel holds full-length [S, 1] LSE+delta tiles per head.
     h_block = _choose_h_block(
@@ -2128,12 +2131,20 @@ def _flash_backward_packed(
     # order (heads on lanes), so no transpose materializes; the one-out fused
     # kernel reads it directly. lse arrives in the forward's grouped-rows
     # [B, G, hb, S] layout (S on lanes) for the same reason.
+    #
+    # Cast dO to the kernel dtype FIRST and derive delta from that: the
+    # kernel's dp term reads the bf16 dO, so this is the self-consistent
+    # delta — and it lets XLA drop the fp32 copy of dO the upstream
+    # dO = g @ Wo^T dot was emitting alongside the bf16 one (dual-output
+    # convert_multiply_fusion, ~100 MB/layer at b64 S512, profile r5b).
+    # Whole-step A/B measured this neutral at b64 (the copies overlapped),
+    # but the smaller live set matters at larger batches; loss identical.
+    g = g.astype(qkv.dtype)
     delta = (
         (g.astype(jnp.float32) * out.astype(jnp.float32))
         .reshape(batch, seq_len, num_heads, head_dim)
         .sum(-1)
     )
-    g = g.astype(qkv.dtype)
 
     fused_sub = _fused_bwd_sub_blocks(seq_len, window)
     if fused_sub is not None:

@@ -246,6 +246,7 @@ def main() -> None:
             # can't build as a single program (HTTP 500).
             ("train_step_accum2x64", dict(pairs=128, iters=8, remat=False, accum=2)),
             ("train_step_accum4x64", dict(pairs=256, iters=4, remat=False, accum=4)),
+            ("train_step_accum8x64", dict(pairs=512, iters=3, remat=False, accum=8)),
             ("train_step_remat256", dict(pairs=256, iters=4, remat=True)),
         ]
         best = None
