@@ -247,6 +247,7 @@ def main() -> None:
             ("train_step_accum2x64", dict(pairs=128, iters=8, remat=False, accum=2)),
             ("train_step_accum4x64", dict(pairs=256, iters=4, remat=False, accum=4)),
             ("train_step_accum8x64", dict(pairs=512, iters=3, remat=False, accum=8)),
+            ("train_step_accum16x64", dict(pairs=1024, iters=2, remat=False, accum=16)),
             ("train_step_remat256", dict(pairs=256, iters=4, remat=True)),
         ]
         best = None
@@ -306,13 +307,14 @@ def main() -> None:
             entry = bench_forward(fam_module, fam_params, 32, 512)
             results[f"forward_{fam}"] = entry
             print(json.dumps({f"forward_{fam}": entry}), flush=True)
-            # large's b64 single-microbatch graph crashes the axon remote
+            # large's b64 no-remat train graph crashes the axon remote
             # compile helper (host-side HTTP 500 in every kernel variant,
-            # including all-pallas-off — measured r5), while b32 compiles
-            # and runs at FLOP-scaling parity with base. Two scanned b32
-            # microbatches in one dispatch keep the effective batch at 64
-            # with a graph the helper accepts.
-            fam_accum = 2 if fam == "large" else 1
+            # including all-pallas-off — measured r5); the threshold is the
+            # microbatch BODY size: scanned 2x32 still 500s, scanned 4x16
+            # compiles and is the fastest recipe (128.1 pairs/s vs b32's
+            # 124.8 and b64+remat's 103.7) at FLOP-scaling parity with
+            # base. Effective per-chip batch stays 64.
+            fam_accum = 4 if fam == "large" else 1
             try:
                 entry = bench_train_step(
                     fam_config, fam_params_fp32, pairs=64, iters=8,
