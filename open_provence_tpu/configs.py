@@ -25,12 +25,17 @@ from typing import Any
 DEFAULT_PROCESS_THRESHOLD = 0.1
 
 
-@dataclass
+@dataclass(unsafe_hash=True)
 class ModernBertBackboneConfig:
     """Architecture hyperparameters for the JAX ModernBERT encoder.
 
     Field names follow the public ModernBERT config schema so that HF
     ``config.json`` files convert losslessly (see ``from_hf_dict``).
+
+    Hashable (all-scalar fields, treated as frozen after construction) so
+    that flax modules built from it hash structurally — the inference
+    engine keys its process-wide jit cache on the module, letting every
+    engine instance with the same architecture share compiled programs.
     """
 
     vocab_size: int = 50368
@@ -97,7 +102,7 @@ class ModernBertBackboneConfig:
         return cls(**kwargs)
 
 
-@dataclass
+@dataclass(unsafe_hash=True)
 class PruningHeadConfig:
     """Token-classification pruning head: dropout + Linear(hidden, 2).
 

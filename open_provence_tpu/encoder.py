@@ -35,6 +35,7 @@ from .configs import OpenProvenceConfig
 from .data_structures import OpenProvenceOutput, RerankingOpenProvenceOutput
 from .inference.batching import bucket_batch, bucket_length, length_buckets
 from .models.model import OpenProvenceModule, build_module
+from .utils.jit_cache import shared_jit
 
 logger = logging.getLogger(__name__)
 
@@ -249,20 +250,25 @@ class OpenProvenceEncoder:
         module = self.module
         impl = self.attention_impl
 
-        def _run(params, input_ids, attention_mask):
-            out = module.apply(
-                {"params": params},
-                input_ids,
-                attention_mask,
-                deterministic=True,
-                attention_impl=impl,
-            )
-            ranking = out["ranking_logits"].astype(jnp.float32)
-            pruning = out["pruning_logits"].astype(jnp.float32)
-            keep = jax.nn.softmax(pruning, axis=-1)[..., 1]
-            return ranking, keep
+        def _build() -> Callable:
+            def _run(params, input_ids, attention_mask):
+                out = module.apply(
+                    {"params": params},
+                    input_ids,
+                    attention_mask,
+                    deterministic=True,
+                    attention_impl=impl,
+                )
+                ranking = out["ranking_logits"].astype(jnp.float32)
+                pruning = out["pruning_logits"].astype(jnp.float32)
+                keep = jax.nn.softmax(pruning, axis=-1)[..., 1]
+                return ranking, keep
 
-        fn = jax.jit(_run)
+            return jax.jit(_run)
+
+        # Shared across encoder instances with the same architecture (see
+        # utils/jit_cache.py) — reloading a checkpoint reuses executables.
+        fn = shared_jit(("encoder_forward", module, impl), _build)
         self._jit_cache[key] = fn
         return fn
 

@@ -45,6 +45,7 @@ from ..text.fragmentation import (
 )
 from ..text.splitters import SentenceSplitter, resolve_sentence_splitter
 from ..text.tokenizer import TokenizerAdapter
+from ..utils.jit_cache import shared_jit
 from ..utils.tracing import ProcessPerformanceTrace
 from .batching import bucket_batch, bucket_length, length_buckets, pad_block_batch
 from .inputs import normalize_inputs, resolve_prefix_sentences, resolve_titles
@@ -404,19 +405,25 @@ class OpenProvenceModel:
         module = self.module
         impl = self.attention_impl
 
-        def _run(params, input_ids, attention_mask):
-            out = module.apply(
-                {"params": params},
-                input_ids,
-                attention_mask,
-                deterministic=True,
-                attention_impl=impl,
-            )
-            rank = ranking_score_from_logits(out["ranking_logits"])  # [B] fp32
-            keep = keep_probs_from_logits(out["pruning_logits"])  # [B, S] fp32
-            return rank, keep
+        def _build() -> Callable:
+            def _run(params, input_ids, attention_mask):
+                out = module.apply(
+                    {"params": params},
+                    input_ids,
+                    attention_mask,
+                    deterministic=True,
+                    attention_impl=impl,
+                )
+                rank = ranking_score_from_logits(out["ranking_logits"])  # [B] fp32
+                keep = keep_probs_from_logits(out["pruning_logits"])  # [B, S] fp32
+                return rank, keep
 
-        fn = jax.jit(_run)
+            return jax.jit(_run)
+
+        # Process-wide sharing: same architecture + impl → same jitted fn
+        # (and so the same compiled executables) across engine instances.
+        # The per-instance dict remains the record of warmed shapes.
+        fn = shared_jit(("engine_forward", module, impl), _build)
         self._jit_cache[key] = fn
         return fn
 
@@ -452,22 +459,27 @@ class OpenProvenceModel:
         module = self.module
         impl = self.attention_impl
 
-        def _run(params, input_ids, attention_mask, frag_starts, frag_ends):
-            from ..ops.segment import fragment_mean_pool_ranges
+        def _build() -> Callable:
+            def _run(params, input_ids, attention_mask, frag_starts, frag_ends):
+                from ..ops.segment import fragment_mean_pool_ranges
 
-            out = module.apply(
-                {"params": params},
-                input_ids,
-                attention_mask,
-                deterministic=True,
-                attention_impl=impl,
-            )
-            rank = ranking_score_from_logits(out["ranking_logits"])  # [B]
-            keep = keep_probs_from_logits(out["pruning_logits"])  # [B, S]
-            means, counts = fragment_mean_pool_ranges(keep, frag_starts, frag_ends)
-            return rank, jnp.where(counts > 0, means, 1.0)
+                out = module.apply(
+                    {"params": params},
+                    input_ids,
+                    attention_mask,
+                    deterministic=True,
+                    attention_impl=impl,
+                )
+                rank = ranking_score_from_logits(out["ranking_logits"])  # [B]
+                keep = keep_probs_from_logits(out["pruning_logits"])  # [B, S]
+                means, counts = fragment_mean_pool_ranges(
+                    keep, frag_starts, frag_ends
+                )
+                return rank, jnp.where(counts > 0, means, 1.0)
 
-        fn = jax.jit(_run)
+            return jax.jit(_run)
+
+        fn = shared_jit(("engine_pooled_forward", module, impl), _build)
         self._jit_pool_cache[key] = fn
         return fn
 

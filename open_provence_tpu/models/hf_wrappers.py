@@ -114,17 +114,22 @@ class OpenProvenceForSequenceClassification:
         if fn is None:
             module, impl = self.module, self.attention_impl
 
-            def _run(params, input_ids, attention_mask):
-                out = module.apply(
-                    {"params": params},
-                    input_ids,
-                    attention_mask,
-                    deterministic=True,
-                    attention_impl=impl,
-                )
-                return out["ranking_logits"], out["pruning_logits"]
+            def _build() -> Callable:
+                def _run(params, input_ids, attention_mask):
+                    out = module.apply(
+                        {"params": params},
+                        input_ids,
+                        attention_mask,
+                        deterministic=True,
+                        attention_impl=impl,
+                    )
+                    return out["ranking_logits"], out["pruning_logits"]
 
-            fn = jax.jit(_run)
+                return jax.jit(_run)
+
+            from ..utils.jit_cache import shared_jit
+
+            fn = shared_jit(("hf_wrapper_forward", module, impl), _build)
             self._jit_cache[key] = fn
         return fn
 
