@@ -165,6 +165,30 @@ def mlp_geglu_fusable(cfg: ModernBertBackboneConfig, rows: int, dtype) -> bool:
     )
 
 
+def mlp_tail_fusable(cfg: ModernBertBackboneConfig, rows: int, dtype) -> bool:
+    """True when the WHOLE MLP (LN → GeGLU → Wo) runs as one Pallas kernel.
+
+    Requires the deferred-norm path (ln_scale forwarded into the MLP) and no
+    dropout between act·gate and Wo; the fused tail keeps the [rows, I]
+    intermediate out of HBM entirely (forward AND backward)."""
+    import os
+
+    from ..ops.attention import pallas_platform_ok
+    from ..ops.geglu import geglu_wo_supported
+
+    return (
+        not cfg.mlp_bias
+        and cfg.mlp_dropout == 0.0
+        and pallas_platform_ok()
+        and dtype in (jnp.bfloat16, jnp.float32)
+        and geglu_wo_supported(
+            rows, cfg.hidden_size, cfg.intermediate_size,
+            jnp.dtype(dtype).itemsize, cfg.hidden_activation,
+        )
+        and os.environ.get("OPEN_PROVENCE_TPU_FUSED_MLP_TAIL", "0") != "0"
+    )
+
+
 def attn_ln_fusable(cfg: ModernBertBackboneConfig, rows: int, dtype) -> bool:
     """True when attn_norm can fold into a fused LN+Wqkv Pallas matmul."""
     import os
@@ -207,7 +231,7 @@ class ModernBertMLP(nn.Module):
         """``ln_scale`` (from a deferred mlp_norm) folds the pre-MLP
         LayerNorm into the GeGLU kernel's row tiles — one fewer HBM pass
         over the hidden state per layer."""
-        from ..ops.geglu import fused_geglu, fused_ln_geglu
+        from ..ops.geglu import fused_geglu, fused_ln_geglu, fused_ln_geglu_wo
         from ..ops.layer_norm import layer_norm_reference
 
         cfg = self.config
@@ -218,6 +242,18 @@ class ModernBertMLP(nn.Module):
                 (cfg.hidden_size, 2 * cfg.intermediate_size), name="Wi"
             )().astype(x.dtype)
             x2d = x.reshape(rows, cfg.hidden_size)
+            if ln_scale is not None and mlp_tail_fusable(cfg, rows, x.dtype):
+                # Whole MLP in one kernel: the [rows, I] act·gate output
+                # never touches HBM. Param tree matches the split path
+                # (same "Wo"/"kernel" leaf as nn.Dense).
+                wo_kernel = _DenseKernel(
+                    (cfg.intermediate_size, cfg.hidden_size), name="Wo"
+                )().astype(x.dtype)
+                out2d = fused_ln_geglu_wo(
+                    x2d, ln_scale, wi_kernel, wo_kernel,
+                    cfg.hidden_activation, ln_eps,
+                )
+                return out2d.reshape(*x.shape[:-1], cfg.hidden_size)
             if ln_scale is not None:
                 hidden = fused_ln_geglu(
                     x2d, ln_scale, wi_kernel, cfg.hidden_activation, ln_eps

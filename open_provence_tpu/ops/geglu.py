@@ -474,6 +474,319 @@ def _ln_geglu_bwd_pallas(x2d, ln_scale, wi, g, activation, eps):
     return dx, dscale.reshape(ln_scale.shape), dwi
 
 
+# ---------------------------------------------------------------------------
+# Full-MLP fusion: LN → GeGLU → Wo in ONE kernel, forward and backward.
+#
+# The split path materializes the [M, I] act·gate output in HBM (forward:
+# one write + one read for the Wo GEMM; backward: one read for dWo plus a
+# write + read of the [M, I] dh = g @ Woᵀ feeding the GeGLU backward
+# kernel). Folding the Wo tail into the row tiles is FLOP-neutral — the
+# backward already recomputes act·gate for the activation gradient — and
+# removes ~300 MB/layer (bwd) + ~150 MB/layer (fwd) of HBM traffic at
+# base-512 shapes. ``OPEN_PROVENCE_TPU_FUSED_MLP_TAIL=0`` reverts to the
+# split LN+GeGLU kernel + XLA Wo GEMM.
+# ---------------------------------------------------------------------------
+
+
+def _pick_block_m_tail(m: int, k: int, intermediate: int, itemsize: int) -> int | None:
+    """Row tile for the forward LN→GeGLU→Wo kernel: Wi halves + Wo stay
+    resident; per-tile x/out plus fp32 accumulators for both Wi halves and
+    the Wo output."""
+    weights = 3 * k * intermediate * itemsize
+    for bm in (512, 256, 128):
+        if m % bm != 0:
+            continue
+        acc = 2 * bm * intermediate * 4 + bm * k * 4
+        x_tile = bm * k * itemsize
+        out = bm * k * itemsize
+        if weights + acc + 2 * (x_tile + out) <= _VMEM_BUDGET:
+            return bm
+    return None
+
+
+def geglu_wo_supported(
+    m: int, k: int, intermediate: int, itemsize: int = 2, activation: str = "gelu"
+) -> bool:
+    return (
+        activation in _KERNEL_ACTIVATIONS
+        and k % 128 == 0
+        and intermediate % 64 == 0
+        and _pick_block_m_tail(m, k, intermediate, itemsize) is not None
+    )
+
+
+def _ln_geglu_wo_kernel(x_ref, s_ref, w_inp_ref, w_gate_ref, wo_ref, o_ref, *,
+                        activation, eps):
+    x = _ln_rows(x_ref[...], s_ref[...], eps)
+    acc_inp = jax.lax.dot_general(
+        x, w_inp_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_gate = jax.lax.dot_general(
+        x, w_gate_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    act_fn = _KERNEL_ACTIVATIONS[activation]
+    inp = acc_inp.astype(o_ref.dtype).astype(jnp.float32)
+    gate = acc_gate.astype(o_ref.dtype)
+    h = act_fn(inp).astype(o_ref.dtype) * gate  # storage dtype (split path's
+    # rounding point: act·gate was the split kernel's HBM output)
+    acc_out = jax.lax.dot_general(
+        h, wo_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[...] = acc_out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def fused_ln_geglu_wo(
+    x2d: jnp.ndarray, ln_scale: jnp.ndarray, wi: jnp.ndarray, wo: jnp.ndarray,
+    activation: str, eps: float = 1e-5,
+) -> jnp.ndarray:
+    """LayerNorm(x2d)·scale [M, K] @ wi → act·gate [M, I] @ wo [I, K] → [M, K],
+    one kernel; the [M, I] intermediate never touches HBM.
+
+    ``OPEN_PROVENCE_TPU_FUSED_MLP_TAIL=bwd`` keeps the forward split (LN+GeGLU
+    kernel + XLA Wo GEMM — same round points, so values are identical) and
+    fuses only the BACKWARD, where most of the traffic saving lives (dh
+    write+read and the h re-read) without the forward's dependent-dot stall."""
+    return _ln_geglu_wo_forward_dispatch(x2d, ln_scale, wi, wo, activation, eps)
+
+
+def _ln_geglu_wo_forward_dispatch(x2d, ln_scale, wi, wo, activation, eps):
+    if os.environ.get("OPEN_PROVENCE_TPU_FUSED_MLP_TAIL") == "bwd":
+        h = _geglu_forward(x2d, wi, activation, ln_scale, eps)
+        return jnp.dot(h, wo, preferred_element_type=jnp.float32).astype(x2d.dtype)
+    return _ln_geglu_wo_forward(x2d, ln_scale, wi, wo, activation, eps)
+
+
+def _ln_geglu_wo_forward(x2d, ln_scale, wi, wo, activation, eps):
+    m, k = x2d.shape
+    intermediate = wi.shape[1] // 2
+    itemsize = jnp.dtype(x2d.dtype).itemsize
+    bm = _pick_block_m_tail(m, k, intermediate, itemsize)
+    if bm is None or activation not in _KERNEL_ACTIVATIONS:
+        raise ValueError(
+            f"fused_ln_geglu_wo unsupported for M={m} K={k} I={intermediate} "
+            f"act={activation!r}"
+        )
+    w_inp = wi[:, :intermediate]
+    w_gate = wi[:, intermediate:]
+    return _pallas_call(
+        functools.partial(_ln_geglu_wo_kernel, activation=activation, eps=eps),
+        grid=(m // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i: (i, 0)),
+            pl.BlockSpec((1, k), lambda i: (0, 0)),
+            pl.BlockSpec((k, intermediate), lambda i: (0, 0)),
+            pl.BlockSpec((k, intermediate), lambda i: (0, 0)),
+            pl.BlockSpec((intermediate, k), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bm, k), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((m, k), x2d.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=48 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * m * k * intermediate,
+            bytes_accessed=(2 * x2d.size + wi.size + wo.size) * itemsize,
+            transcendentals=m * intermediate,
+        ),
+    )(x2d, ln_scale.reshape(1, k), w_inp, w_gate, wo)
+
+
+def _ln_geglu_wo_reference(x2d, ln_scale, wi, wo, activation, eps):
+    h = _ln_geglu_reference(x2d, ln_scale, wi, activation, eps)
+    return jnp.dot(h, wo, preferred_element_type=jnp.float32).astype(x2d.dtype)
+
+
+def _ln_geglu_wo_fwd(x2d, ln_scale, wi, wo, activation, eps):
+    return (
+        _ln_geglu_wo_forward_dispatch(x2d, ln_scale, wi, wo, activation, eps),
+        (x2d, ln_scale, wi, wo),
+    )
+
+
+def _pick_block_m_tail_bwd(m: int, k: int, intermediate: int, itemsize: int) -> int | None:
+    """Row tile for the fused backward: Wi halves + Wo and fp32 dWi/dWo
+    accumulators stay resident across the whole grid."""
+    if k % 128 != 0 or intermediate % 64 != 0:
+        return None
+    env_bm = os.environ.get("OPEN_PROVENCE_TPU_GEGLU_BWD_BM")
+    if env_bm:
+        bm = int(env_bm)
+        return bm if m % bm == 0 else None
+    resident = 3 * k * intermediate * (itemsize + 4)
+    for bm in (256, 128):
+        if m % bm != 0:
+            continue
+        tiles = 2 * bm * 3 * k * itemsize  # x, g, dx double-buffered
+        acc = 2 * bm * intermediate * 4 + 2 * bm * k * 4
+        if resident + tiles + acc <= _VMEM_BUDGET:
+            return bm
+    return None
+
+
+def _ln_geglu_wo_bwd_kernel(
+    x_ref, s_ref, g_ref, w_inp_ref, w_gate_ref, wo_ref,
+    dx_ref, dwi_ref, dwo_ref, dscale_ref,
+    dw_inp_acc, dw_gate_acc, dwo_acc, ds_acc,
+    *, activation, eps, num_tiles,
+):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        dw_inp_acc[...] = jnp.zeros_like(dw_inp_acc)
+        dw_gate_acc[...] = jnp.zeros_like(dw_gate_acc)
+        dwo_acc[...] = jnp.zeros_like(dwo_acc)
+        ds_acc[...] = jnp.zeros_like(ds_acc)
+
+    x = x_ref[...].astype(jnp.float32)
+    scale = s_ref[...].astype(jnp.float32)  # [1, K]
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    mean2 = jnp.mean(x * x, axis=-1, keepdims=True)
+    var = jnp.maximum(mean2 - mean * mean, 0.0)
+    rstd = jax.lax.rsqrt(var + eps)
+    hn = (x - mean) * rstd  # LN hidden, [bm, K] fp32
+    xn = (hn * scale).astype(x_ref.dtype)
+
+    acc_inp = jax.lax.dot_general(
+        xn, w_inp_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_gate = jax.lax.dot_general(
+        xn, w_gate_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    inp = acc_inp.astype(x_ref.dtype).astype(jnp.float32)
+    gate = acc_gate.astype(x_ref.dtype).astype(jnp.float32)
+    act_fn = _KERNEL_ACTIVATIONS[activation]
+    act_grad = _KERNEL_ACTIVATION_GRADS[activation]
+    a = act_fn(inp).astype(x_ref.dtype).astype(jnp.float32)
+    da = act_grad(inp)
+    h = (a * gate).astype(x_ref.dtype)  # forward's act·gate round point
+
+    g = g_ref[...]  # [bm, K] storage dtype
+    dwo_acc[...] += jax.lax.dot_general(
+        h, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dh = jax.lax.dot_general(
+        g, wo_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [bm, I] fp32
+
+    gi = (dh * da * gate).astype(x_ref.dtype)  # d acc_inp
+    gg = (dh * a).astype(x_ref.dtype)  # d acc_gate
+
+    dw_inp_acc[...] += jax.lax.dot_general(
+        xn, gi, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dw_gate_acc[...] += jax.lax.dot_general(
+        xn, gg, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    dy = jax.lax.dot_general(
+        gi, w_inp_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + jax.lax.dot_general(
+        gg, w_gate_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [bm, K] fp32
+
+    ds_acc[...] += jnp.sum(dy * hn, axis=0, keepdims=True)
+    dhn = dy * scale
+    dx = rstd * (
+        dhn
+        - jnp.mean(dhn, axis=-1, keepdims=True)
+        - hn * jnp.mean(dhn * hn, axis=-1, keepdims=True)
+    )
+    dx_ref[...] = dx.astype(dx_ref.dtype)
+
+    @pl.when(i == num_tiles - 1)
+    def _finalize():
+        dwi_ref[:, : dw_inp_acc.shape[1]] = dw_inp_acc[...].astype(dwi_ref.dtype)
+        dwi_ref[:, dw_inp_acc.shape[1]:] = dw_gate_acc[...].astype(dwi_ref.dtype)
+        dwo_ref[...] = dwo_acc[...].astype(dwo_ref.dtype)
+        dscale_ref[...] = ds_acc[...].astype(dscale_ref.dtype)
+
+
+def _ln_geglu_wo_bwd_pallas(x2d, ln_scale, wi, wo, g, activation, eps):
+    m, k = x2d.shape
+    intermediate = wi.shape[1] // 2
+    itemsize = jnp.dtype(x2d.dtype).itemsize
+    bm = _pick_block_m_tail_bwd(m, k, intermediate, itemsize)
+    w_inp = wi[:, :intermediate]
+    w_gate = wi[:, intermediate:]
+    num_tiles = m // bm
+    dx, dwi, dwo, dscale = _pallas_call(
+        functools.partial(
+            _ln_geglu_wo_bwd_kernel,
+            activation=activation, eps=eps, num_tiles=num_tiles,
+        ),
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i: (i, 0)),
+            pl.BlockSpec((1, k), lambda i: (0, 0)),
+            pl.BlockSpec((bm, k), lambda i: (i, 0)),
+            pl.BlockSpec((k, intermediate), lambda i: (0, 0)),
+            pl.BlockSpec((k, intermediate), lambda i: (0, 0)),
+            pl.BlockSpec((intermediate, k), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((bm, k), lambda i: (i, 0)),
+            pl.BlockSpec((k, 2 * intermediate), lambda i: (0, 0)),
+            pl.BlockSpec((intermediate, k), lambda i: (0, 0)),
+            pl.BlockSpec((1, k), lambda i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((m, k), x2d.dtype),
+            jax.ShapeDtypeStruct((k, 2 * intermediate), wi.dtype),
+            jax.ShapeDtypeStruct((intermediate, k), wo.dtype),
+            jax.ShapeDtypeStruct((1, k), ln_scale.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((k, intermediate), jnp.float32),
+            pltpu.VMEM((k, intermediate), jnp.float32),
+            pltpu.VMEM((intermediate, k), jnp.float32),
+            pltpu.VMEM((1, k), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=16 * m * k * intermediate,
+            bytes_accessed=(3 * x2d.size + 3 * wi.size) * itemsize,
+            transcendentals=2 * m * intermediate,
+        ),
+    )(x2d, ln_scale.reshape(1, k), g, w_inp, w_gate, wo)
+    return dx, dscale.reshape(ln_scale.shape), dwi, dwo
+
+
+def _ln_geglu_wo_bwd(activation, eps, residuals, g):
+    x2d, ln_scale, wi, wo = residuals
+    m, k = x2d.shape
+    intermediate = wi.shape[1] // 2
+    itemsize = jnp.dtype(x2d.dtype).itemsize
+    if (
+        os.environ.get("OPEN_PROVENCE_TPU_FUSED_GEGLU_BWD", "1") != "0"
+        and _pick_block_m_tail_bwd(m, k, intermediate, itemsize) is not None
+    ):
+        return _ln_geglu_wo_bwd_pallas(x2d, ln_scale, wi, wo, g, activation, eps)
+    _, vjp = jax.vjp(
+        lambda x_, s_, wi_, wo_: _ln_geglu_wo_reference(
+            x_, s_, wi_, wo_, activation, eps
+        ),
+        x2d, ln_scale, wi, wo,
+    )
+    return vjp(g)
+
+
+fused_ln_geglu_wo.defvjp(_ln_geglu_wo_fwd, _ln_geglu_wo_bwd)
+
+
 def _ln_matmul_kernel(x_ref, s_ref, w_ref, o_ref, *, eps):
     x = _ln_rows(x_ref[...], s_ref[...], eps)
     acc = jax.lax.dot_general(

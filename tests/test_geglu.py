@@ -304,3 +304,115 @@ def test_geglu_unaligned_intermediate(k, i):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5
     )
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_ln_geglu_wo_matches_reference(dtype):
+    """Full-MLP fusion (LN → GeGLU → Wo in one kernel) forward parity."""
+    from open_provence_tpu.ops.geglu import (
+        _ln_geglu_wo_reference,
+        fused_ln_geglu_wo,
+        geglu_wo_supported,
+    )
+
+    assert geglu_wo_supported(16384, 768, 1152, 2)
+    rng = np.random.default_rng(11)
+    M, K, I = 256, 128, 192
+    x = jnp.asarray(rng.normal(size=(M, K)), dtype=dtype)
+    scale = jnp.asarray(1.0 + 0.1 * rng.normal(size=(K,)), dtype=dtype)
+    wi = jnp.asarray(rng.normal(size=(K, 2 * I)) * 0.05, dtype=dtype)
+    wo = jnp.asarray(rng.normal(size=(I, K)) * 0.05, dtype=dtype)
+    with pltpu.force_tpu_interpret_mode():
+        out = fused_ln_geglu_wo(x, scale, wi, wo, "gelu", 1e-5)
+    ref = _ln_geglu_wo_reference(x, scale, wi, wo, "gelu", 1e-5)
+    assert out.dtype == dtype
+    atol = 1e-5 if dtype == jnp.float32 else 3e-2
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=atol, rtol=atol,
+    )
+
+
+@pytest.mark.parametrize("act", ["gelu", "silu"])
+@pytest.mark.parametrize("pallas_bwd", [True, False])
+def test_ln_geglu_wo_gradients_match_reference(act, pallas_bwd, monkeypatch):
+    """Fused-tail backward (both the one-pass Pallas kernel and the XLA
+    fallback) vs grads of the reference composition — all four inputs."""
+    from open_provence_tpu.ops.geglu import (
+        _ln_geglu_wo_reference,
+        fused_ln_geglu_wo,
+    )
+
+    monkeypatch.setenv(
+        "OPEN_PROVENCE_TPU_FUSED_GEGLU_BWD", "1" if pallas_bwd else "0"
+    )
+    rng = np.random.default_rng(12)
+    M, K, I = 256, 128, 192
+    x = jnp.asarray(rng.normal(size=(M, K)), jnp.float32)
+    scale = jnp.asarray(1.0 + 0.1 * rng.normal(size=(K,)), jnp.float32)
+    wi = jnp.asarray(rng.normal(size=(K, 2 * I)) * 0.05, jnp.float32)
+    wo = jnp.asarray(rng.normal(size=(I, K)) * 0.05, jnp.float32)
+
+    def loss_f(x_, s_, wi_, wo_):
+        return jnp.sum(fused_ln_geglu_wo(x_, s_, wi_, wo_, act, 1e-5) ** 2)
+
+    def loss_r(x_, s_, wi_, wo_):
+        return jnp.sum(_ln_geglu_wo_reference(x_, s_, wi_, wo_, act, 1e-5) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        gf = jax.grad(loss_f, argnums=(0, 1, 2, 3))(x, scale, wi, wo)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2, 3))(x, scale, wi, wo)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4
+        )
+
+
+def test_mlp_tail_param_tree_and_forward_match_split(monkeypatch):
+    """OPEN_PROVENCE_TPU_FUSED_MLP_TAIL must not change the checkpoint tree
+    (Wi/Wo keep their nn.Dense kernel leaves) and must match the split
+    fused path's forward and gradients on the same params."""
+    from open_provence_tpu.configs import ModernBertBackboneConfig
+    import open_provence_tpu.models.modernbert as mb
+
+    cfg = ModernBertBackboneConfig(
+        vocab_size=128, hidden_size=128, intermediate_size=192,
+        num_hidden_layers=2, num_attention_heads=2,
+        max_position_embeddings=256, local_attention=32,
+        pad_token_id=0, num_labels=1,
+    )
+    monkeypatch.setattr(
+        "open_provence_tpu.ops.attention._default_platform", lambda: "tpu"
+    )
+    layer = mb.ModernBertEncoderLayer(cfg, layer_id=1)
+    x = jnp.asarray(
+        np.random.default_rng(3).normal(size=(2, 128, 128)), jnp.float32
+    )
+    pm = jnp.ones((2, 128), jnp.int32)
+
+    def init_and_run(tail):
+        monkeypatch.setenv(
+            "OPEN_PROVENCE_TPU_FUSED_MLP_TAIL", "1" if tail else "0"
+        )
+        with pltpu.force_tpu_interpret_mode():
+            params = layer.init(jax.random.PRNGKey(0), x, pm, True, "xla")
+            out = layer.apply(params, x, pm, True, "xla")
+
+            def loss(p):
+                return jnp.sum(layer.apply(p, x, pm, True, "xla") ** 2)
+
+            grads = jax.grad(loss)(params)
+        return params, out, grads
+
+    p_tail, out_tail, g_tail = init_and_run(True)
+    p_split, out_split, g_split = init_and_run(False)
+    assert jax.tree.map(lambda v: v.shape, p_tail) == jax.tree.map(
+        lambda v: v.shape, p_split
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_tail), np.asarray(out_split), atol=2e-4, rtol=2e-4
+    )
+    for a, b in zip(jax.tree.leaves(g_tail), jax.tree.leaves(g_split)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-3, rtol=2e-3
+        )
