@@ -1728,6 +1728,14 @@ def _bwd_fused_compute(
     whose single all-heads group makes every (g, j) index static. The
     grouped/3-out fallbacks pass 0 and read the legacy [1, h_block, S, 1]
     rows their dispatch converts to in XLA."""
+    if os.environ.get("OPEN_PROVENCE_TPU_BWD_PIPELINE", "0") == "1":
+        return _bwd_fused_compute_pipelined(
+            q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, mask_ref,
+            rope_ref, write_dq, write_dk, write_dv,
+            seq_len=seq_len, sub_q=sub_q, sub_k=sub_k, h_block=h_block,
+            head_dim=head_dim, window=window, scale=scale,
+            has_mask=has_mask, has_rope=has_rope, fwd_h_block=fwd_h_block,
+        )
     lanes = 2 * head_dim
     num_pairs = h_block // 2
     nq = seq_len // sub_q
@@ -1872,6 +1880,201 @@ def _bwd_fused_compute(
         write_dq(p, lanes, dq_p)
         write_dk(p, lanes, dk_p)
         write_dv(p, lanes, jnp.concatenate(dv_halves, axis=-1))
+
+
+def _bwd_fused_compute_pipelined(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, mask_ref, rope_ref,
+    write_dq, write_dk, write_dv, *,
+    seq_len, sub_q, sub_k, h_block, head_dim, window, scale,
+    has_mask, has_rope, fwd_h_block=0,
+):
+    """2-stage software-pipelined variant of ``_bwd_fused_compute``
+    (``OPEN_PROVENCE_TPU_BWD_PIPELINE=1``): same math, reordered issue.
+
+    The serial body chains MXU and VPU phases per (head, q-tile, k-tile)
+    tile — s = qkᵀ (MXU, half-rate at D=64) → exp (VPU) → dp = do·vᵀ (MXU)
+    → ds (VPU) → dv/dk/dq dots (MXU) — so the MXU idles through every VPU
+    phase. Here every tile's two recompute dots are issued one pipeline
+    stage AHEAD of its VPU phase: in source order the stream is
+    [s/dp of tile t+1] [exp/ds of tile t] [dv/dk/dq of tile t] …, giving
+    an in-order scheduler back-to-back MXU work to overlap each VPU phase
+    with. Accumulators and write points are identical to the serial body;
+    results are bit-identical (same ops, same order per accumulator)."""
+    lanes = 2 * head_dim
+    num_pairs = h_block // 2
+    nq = seq_len // sub_q
+    nk = seq_len // sub_k
+
+    scale_is_pow2 = float(scale) != 0.0 and (
+        abs(scale) == 2.0 ** round(math.log2(abs(scale)))
+    )
+
+    if has_rope:
+        rot_pp = _rot_half_matrix_pair(head_dim, q_ref.dtype)
+        cos = rope_ref[0]
+        sin = rope_ref[1]
+        cos2 = jnp.concatenate([cos, cos], axis=-1)
+        sin2 = jnp.concatenate([sin, sin], axis=-1)
+
+    def tile_needed(qi: int, kj: int) -> bool:
+        if window is None:
+            return True
+        lo_r, hi_r = qi * sub_q, qi * sub_q + sub_q - 1
+        lo_c, hi_c = kj * sub_k, kj * sub_k + sub_k - 1
+        if lo_c > hi_r:
+            dist = lo_c - hi_r
+        elif lo_r > hi_c:
+            dist = lo_r - hi_c
+        else:
+            dist = 0
+        return dist <= window
+
+    biases: dict[tuple[int, int], jnp.ndarray | None] = {}
+    for qi in range(nq):
+        row_ids = (
+            jax.lax.broadcasted_iota(jnp.int32, (sub_q, sub_k), 0)
+            + qi * sub_q
+        )
+        for kj in range(nk):
+            if not tile_needed(qi, kj):
+                continue
+            biases[(qi, kj)] = _band_bias(
+                mask_ref, row_ids, kj * sub_k, sub_q, sub_k, window, has_mask
+            )
+
+    # Per-pair state (inputs + per-half accumulators), built at first issue.
+    pair_state: dict[int, dict] = {}
+
+    def get_pair(p: int) -> dict:
+        st = pair_state.get(p)
+        if st is None:
+            q_pair = q_ref[0, :, p * lanes:(p + 1) * lanes]
+            k_pair = k_ref[0, :, p * lanes:(p + 1) * lanes]
+            v_pair = v_ref[0, :, p * lanes:(p + 1) * lanes]
+            do_pair = do_ref[0, :, p * lanes:(p + 1) * lanes]
+            if has_rope:
+                q_pair = _apply_rope_mx(q_pair, cos2, sin2, rot_pp)
+                k_pair = _apply_rope_mx(k_pair, cos2, sin2, rot_pp)
+            if scale_is_pow2:
+                q_pair = q_pair * jnp.asarray(scale, dtype=q_pair.dtype)
+            st = {
+                "q": q_pair, "k": k_pair, "v": v_pair, "do": do_pair,
+                "dq": [[jnp.zeros((sub_q, head_dim), jnp.float32)
+                        for _ in range(nq)] for _ in range(2)],
+                "dk": [[jnp.zeros((sub_k, head_dim), jnp.float32)
+                        for _ in range(nk)] for _ in range(2)],
+                "dv": [[jnp.zeros((sub_k, head_dim), jnp.float32)
+                        for _ in range(nk)] for _ in range(2)],
+                "remaining": 2 * len(biases),
+            }
+            pair_state[p] = st
+        return st
+
+    def head_rows(p: int, sub: int):
+        h = 2 * p + sub
+        if fwd_h_block:
+            g_idx, j_idx = h // fwd_h_block, h % fwd_h_block
+            lse_h = _row_to_col(lse_ref[0, g_idx, j_idx:j_idx + 1, :])
+            delta_h = delta_ref[0, :, h:h + 1]
+        else:
+            lse_h = lse_ref[0, h]
+            delta_h = delta_ref[0, h]
+        return lse_h, delta_h
+
+    tiles = [
+        (p, sub, qi, kj)
+        for p in range(num_pairs)
+        for sub in range(2)
+        for qi in range(nq)
+        for kj in range(nk)
+        if (qi, kj) in biases
+    ]
+
+    def issue(tile):
+        """Stage 1: the two independent recompute dots (MXU)."""
+        p, sub, qi, kj = tile
+        st = get_pair(p)
+        q = st["q"][:, sub * head_dim:(sub + 1) * head_dim]
+        k = st["k"][:, sub * head_dim:(sub + 1) * head_dim]
+        v = st["v"][:, sub * head_dim:(sub + 1) * head_dim]
+        do = st["do"][:, sub * head_dim:(sub + 1) * head_dim]
+        q_i = q[qi * sub_q:(qi + 1) * sub_q]
+        do_i = do[qi * sub_q:(qi + 1) * sub_q]
+        k_j = k[kj * sub_k:(kj + 1) * sub_k]
+        v_j = v[kj * sub_k:(kj + 1) * sub_k]
+        s = jax.lax.dot_general(
+            q_i, k_j, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do_i, v_j, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return (tile, s, dp, q_i, do_i, k_j)
+
+    def retire(staged):
+        """Stage 2: VPU epilogue + the three accumulation dots."""
+        (p, sub, qi, kj), s, dp, q_i, do_i, k_j = staged
+        st = pair_state[p]
+        lse_h, delta_h = head_rows(p, sub)
+        lse_i = lse_h[qi * sub_q:(qi + 1) * sub_q]
+        delta_i = delta_h[qi * sub_q:(qi + 1) * sub_q]
+        if not scale_is_pow2:
+            s = s * scale
+        bias = biases[(qi, kj)]
+        if bias is not None:
+            s = s + bias
+        p_mat = jnp.exp(s - lse_i)
+        ds = p_mat * (dp - delta_i)
+        st["dv"][sub][kj] = st["dv"][sub][kj] + jax.lax.dot_general(
+            p_mat.astype(do_ref.dtype), do_i, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds_c = ds.astype(q_ref.dtype)
+        st["dk"][sub][kj] = st["dk"][sub][kj] + jax.lax.dot_general(
+            ds_c, q_i, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        st["dq"][sub][qi] = st["dq"][sub][qi] + jax.lax.dot_general(
+            ds_c, k_j, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        st["remaining"] -= 1
+        if st["remaining"] == 0:
+            flush_pair(p)
+
+    def flush_pair(p: int):
+        st = pair_state[p]
+        dq_halves, dk_halves, dv_halves = [], [], []
+        for sub in range(2):
+            dq_halves.append(
+                (jnp.concatenate(st["dq"][sub], axis=0) * scale)
+                .astype(q_ref.dtype)
+            )
+            dk_full = jnp.concatenate(st["dk"][sub], axis=0)
+            if not scale_is_pow2:
+                dk_full = dk_full * scale
+            dk_halves.append(dk_full.astype(q_ref.dtype))
+            dv_halves.append(
+                jnp.concatenate(st["dv"][sub], axis=0).astype(q_ref.dtype)
+            )
+        dq_p = jnp.concatenate(dq_halves, axis=-1)
+        dk_p = jnp.concatenate(dk_halves, axis=-1)
+        if has_rope:
+            dq_p = _rope_adjoint_mx(dq_p, cos2, sin2, rot_pp)
+            dk_p = _rope_adjoint_mx(dk_p, cos2, sin2, rot_pp)
+        write_dq(p, lanes, dq_p)
+        write_dk(p, lanes, dk_p)
+        write_dv(p, lanes, jnp.concatenate(dv_halves, axis=-1))
+
+    pending = None
+    for tile in tiles:
+        staged = issue(tile)
+        if pending is not None:
+            retire(pending)
+        pending = staged
+    if pending is not None:
+        retire(pending)
 
 
 def _fused_bwd_sub_blocks(

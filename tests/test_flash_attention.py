@@ -451,3 +451,38 @@ def test_banded_forward_grid_backward_gradient(monkeypatch):
         g1 = jax.grad(loss_flash)(qkv)
     g2 = jax.grad(loss_ref)(qkv)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("window", [None, 64])
+def test_bwd_pipeline_variant_bit_identical(window, monkeypatch):
+    """OPEN_PROVENCE_TPU_BWD_PIPELINE reorders the fused backward's issue
+    schedule (2-stage software pipeline) without changing any op or any
+    per-accumulator order — gradients must be BIT-identical to the serial
+    body."""
+    from open_provence_tpu.ops.flash_attention import flash_attention_packed
+    from open_provence_tpu.ops.rotary import rope_tables
+
+    B, S, H, D = 2, 256, 4, 64
+    qkv = _rand_packed(B, S, H, D, seed=13)
+    cos, sin = rope_tables(S, D, 160000.0)
+    m = np.ones((B, S), np.int32)
+    m[0, 200:] = 0
+    pm = jnp.asarray(m)
+    row_weight = pm[:, :, None].astype(jnp.float32)
+
+    def loss_flash(x):
+        out = flash_attention_packed(
+            x, num_heads=H, padding_mask=pm, window=window, rope=(cos, sin)
+        )
+        return ((out.astype(jnp.float32) * row_weight) ** 2).sum()
+
+    def grad_with(pipeline):
+        monkeypatch.setenv(
+            "OPEN_PROVENCE_TPU_BWD_PIPELINE", "1" if pipeline else "0"
+        )
+        with pltpu.force_tpu_interpret_mode():
+            return np.asarray(jax.grad(loss_flash)(qkv))
+
+    g_serial = grad_with(False)
+    g_pipelined = grad_with(True)
+    np.testing.assert_array_equal(g_serial, g_pipelined)
