@@ -16,7 +16,11 @@ subprocess under a hard deadline; the child checkpoints progress to a status
 file after every stage. Whatever happens — tunnel down, compile hang, engine
 bug — the parent ALWAYS prints a structured JSON line within
 OPEN_PROVENCE_TPU_BENCH_DEADLINE_S (default 480 s), carrying partial results
-when the forward headline completed but a later stage did not.
+when the forward headline completed but a later stage did not. After that
+soft deadline it keeps waiting (up to OPEN_PROVENCE_TPU_BENCH_HARD_CAP_S,
+default 900 s) for the child to finish, and prints the complete payload as a
+NEW last JSON line when it does — callers that parse the last line get the
+best available result either way.
 """
 
 from __future__ import annotations
@@ -68,11 +72,27 @@ def main() -> None:
         pump.start()
 
         last_beat = 0.0
+        # Two-phase deadline: at the soft deadline, print whatever partial
+        # JSON the status file holds (guaranteeing the caller a line even if
+        # it kills us right after), then keep waiting up to the hard cap for
+        # the child to finish — a later COMPLETE line supersedes the partial
+        # one for callers that parse the last JSON line. Over-the-tunnel
+        # server-side program loads are the slow step (200-350 s each when
+        # the server cache is cold) and they do finish given a little more
+        # patience.
+        hard_cap_s = float(
+            os.environ.get("OPEN_PROVENCE_TPU_BENCH_HARD_CAP_S", "900")
+        )
+        partial_printed = False
         while proc.poll() is None:
             elapsed = time.monotonic() - start
-            if elapsed >= deadline_s - 10:
-                proc.kill()
+            if elapsed >= deadline_s - 10 and not partial_printed:
                 _emit_failure(status_path, reason="deadline", elapsed=elapsed)
+                partial_printed = True
+            if elapsed >= hard_cap_s:
+                proc.kill()
+                if not partial_printed:
+                    _emit_failure(status_path, reason="deadline", elapsed=elapsed)
                 return
             if elapsed - last_beat >= 30:
                 stage = _read_status(status_path).get("stage", "starting")
